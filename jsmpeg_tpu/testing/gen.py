@@ -1,0 +1,147 @@
+"""Synthetic content + stream generation for tests and benchmarks."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import tables as T
+from .bitwriter import BitWriter
+from .mpeg1_enc import MB, MPEG1Encoder, quantize_intra
+
+
+def make_ycbcr_frame(w: int, h: int, t: int, seed: int = 0):
+    """Deterministic moving-pattern frame: gradients + a moving box."""
+    rng = np.random.default_rng(seed + 1000 * t)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx * 2 + yy + t * 5) % 256).astype(np.uint8)
+    bx = (t * 7) % max(w - 32, 1)
+    by = (t * 3) % max(h - 32, 1)
+    y = y.copy()
+    y[by:by + 32, bx:bx + 32] = 32 + 8 * (t % 16)
+    y[h // 4:h // 4 + 8, :] = rng.integers(0, 255, (8, w), dtype=np.uint8)
+    cb = ((xx[::2, ::2] + 40 * np.sin(t / 3.0)) % 256).astype(np.uint8)
+    cr = ((yy[::2, ::2] * 2 - 30 * np.cos(t / 5.0)) % 256).astype(np.uint8)
+    return y, cb, cr
+
+
+def _intra_levels(y, cb, cr, mb_row, mb_col, qscale, quant):
+    """Levels for the 6 blocks of one intra macroblock (zig-zag order).
+    Block order: 4 luma (tl, tr, bl, br), then Cb, then Cr -- matching the
+    decoder's block->plane mapping (block 4 lands in the Cb plane)."""
+    levels = []
+    for b in range(4):
+        r0 = (mb_row << 4) + (8 if b & 2 else 0)
+        c0 = (mb_col << 4) + (8 if b & 1 else 0)
+        levels.append(quantize_intra(
+            y[r0:r0 + 8, c0:c0 + 8].astype(np.float64), qscale, quant))
+    for plane in (cb, cr):
+        r0 = mb_row << 3
+        c0 = mb_col << 3
+        levels.append(quantize_intra(
+            plane[r0:r0 + 8, c0:c0 + 8].astype(np.float64), qscale, quant))
+    return levels
+
+
+def _pad_plane(p: np.ndarray, H: int, W: int) -> np.ndarray:
+    out = np.zeros((H, W), dtype=p.dtype)
+    out[:p.shape[0], :p.shape[1]] = p
+    # replicate edges into the macroblock padding region
+    out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+    out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+    return out
+
+
+def random_sparse_levels(rng, density=0.12, max_level=40, escape_prob=0.05):
+    """Random zig-zag non-intra levels exercising VLC + escape paths."""
+    lv = np.zeros(64, dtype=np.int64)
+    for n in range(64):
+        if rng.random() < density:
+            if rng.random() < escape_prob:
+                lv[n] = int(rng.integers(128, 256)) * (1 if rng.random() < .5 else -1)
+            else:
+                lv[n] = int(rng.integers(1, max_level)) * (1 if rng.random() < .5 else -1)
+    return lv
+
+
+def encode_test_stream(w: int, h: int, n_frames: int, seed: int = 0,
+                       gop: int = 6, qscale: int = 8, f_code: int = 2,
+                       custom_matrices: bool = False,
+                       frame_rate: float = 25.0) -> tuple[bytes, list[bytes]]:
+    """Generate a legal MPEG1 ES with I and P pictures covering decode paths.
+
+    Returns (full_es, per_frame_es_chunks) -- the chunks are what a muxer
+    packs one PES packet each.
+    """
+    rng = np.random.default_rng(seed)
+    intra_q = non_intra_q = None
+    if custom_matrices:
+        intra_q = np.clip(T.DEFAULT_INTRA_QUANT_MATRIX +
+                          rng.integers(-3, 4, 64), 1, 255).astype(np.int32)
+        non_intra_q = np.clip(16 + rng.integers(-4, 5, 64),
+                              1, 255).astype(np.int32)
+
+    enc = MPEG1Encoder(w, h, frame_rate=frame_rate, qscale=qscale,
+                       f_code=f_code, intra_q=intra_q,
+                       non_intra_q=non_intra_q)
+    mb_w, mb_h = enc.mb_w, enc.mb_h
+    cw, ch = mb_w * 16, mb_h * 16
+    f = 1 << (f_code - 1)
+    mv_cap = (f << 4) - 1
+
+    chunks = []
+    for t in range(n_frames):
+        enc.w = BitWriter()
+        if t == 0:
+            enc.sequence_header()
+        is_intra = (t % gop == 0)
+        y, cb, cr = make_ycbcr_frame(w, h, t, seed)
+        y = _pad_plane(y, ch, cw)
+        cb = _pad_plane(cb, ch >> 1, cw >> 1)
+        cr = _pad_plane(cr, ch >> 1, cw >> 1)
+
+        mbs = []
+        if is_intra:
+            if t == 0 or rng.random() < 0.5:
+                enc.gop_header()
+            for rmb in range(mb_h):
+                for cmb in range(mb_w):
+                    q = None
+                    if rng.random() < 0.08:
+                        q = int(rng.integers(1, 31))
+                    levels = _intra_levels(y, cb, cr, rmb, cmb,
+                                           q or qscale, enc.intra_q)
+                    mbs.append(MB('intra', levels=levels, qscale=q))
+            enc.encode_picture(T.PIC_I, mbs)
+        else:
+            for rmb in range(mb_h):
+                for cmb in range(mb_w):
+                    u = rng.random()
+                    # legal MV range keeping reads in-bounds (2px margin)
+                    max_up = min(mv_cap, 2 * (rmb * 16) )
+                    max_down = min(mv_cap, 2 * (ch - rmb * 16 - 16 - 2))
+                    max_left = min(mv_cap, 2 * (cmb * 16))
+                    max_right = min(mv_cap, 2 * (cw - cmb * 16 - 16 - 2))
+                    mvh = int(rng.integers(-max_left, max_right + 1))
+                    mvv = int(rng.integers(-max_up, max_down + 1))
+                    q = int(rng.integers(1, 31)) if rng.random() < 0.05 else None
+                    if u < 0.25:
+                        mbs.append(MB('skip'))
+                    elif u < 0.45:
+                        mbs.append(MB('mc', mv=(mvh, mvv)))
+                    elif u < 0.60:
+                        q2 = q or qscale
+                        levels = _intra_levels(y, cb, cr, rmb, cmb,
+                                               q2, enc.intra_q)
+                        mbs.append(MB('intra', levels=levels, qscale=q))
+                    else:
+                        levels = [random_sparse_levels(rng)
+                                  if rng.random() < 0.8 else
+                                  np.zeros(64, dtype=np.int64)
+                                  for _ in range(6)]
+                        mbs.append(MB('mc_coded', mv=(mvh, mvv),
+                                      levels=levels, qscale=q))
+            enc.encode_picture(T.PIC_P, mbs)
+        chunks.append(enc.getvalue())
+
+    chunks.append(b'\x00\x00\x01\xb7')    # sequence end
+    return b''.join(chunks), chunks
