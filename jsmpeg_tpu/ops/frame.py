@@ -1,0 +1,128 @@
+"""Frame assembly: batched block residuals -> planes, and the per-frame
+decode step combining motion prediction, residuals and the double-buffered
+reference planes.
+
+Assembly is a pure reshape/transpose (never a scatter): the host emits
+coefficients densely ordered by (mb_row, mb_col, block), so the plane is
+[mb_h, 2, 8, mb_w, 2, 8] viewed flat -- TPU-layout friendly by design.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .idct import idct_s32
+from .motion import chroma_mv, motion_compensate
+
+
+class FrameArrays(NamedTuple):
+    """Device-side per-frame inputs (host -> device contract; all dense)."""
+    coef: jnp.ndarray      # int32 [n_mb, 6, 64] premultiplied dequantized
+    coded: jnp.ndarray     # bool  [n_mb, 6]
+    intra: jnp.ndarray     # bool  [n_mb]
+    written: jnp.ndarray   # bool  [n_mb]
+    mv_h: jnp.ndarray      # int32 [n_mb]
+    mv_v: jnp.ndarray      # int32 [n_mb]
+    valid: jnp.ndarray     # bool  []  (False = GOP padding; no-op frame)
+
+
+class Planes(NamedTuple):
+    y: jnp.ndarray         # uint8 [H, W]
+    cr: jnp.ndarray        # uint8 [H/2, W/2]
+    cb: jnp.ndarray        # uint8 [H/2, W/2]
+
+
+def assemble_luma(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    """blocks [n_mb, 4, 8, 8] -> [16*mb_h, 16*mb_w]."""
+    x = blocks.reshape(mb_h, mb_w, 2, 2, 8, 8)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(mb_h * 16, mb_w * 16)
+
+
+def assemble_chroma(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    """blocks [n_mb, 8, 8] -> [8*mb_h, 8*mb_w]."""
+    x = blocks.reshape(mb_h, mb_w, 8, 8)
+    x = x.transpose(0, 2, 1, 3)
+    return x.reshape(mb_h * 8, mb_w * 8)
+
+
+def _mask_luma(per_block: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    """[n_mb, 4] -> per-pixel [H, W] (broadcast each entry over its 8x8)."""
+    x = jnp.broadcast_to(per_block[:, :, None, None],
+                         (per_block.shape[0], 4, 8, 8))
+    return assemble_luma(x, mb_h, mb_w)
+
+
+def _mask_chroma(per_block: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    x = jnp.broadcast_to(per_block[:, None, None],
+                         (per_block.shape[0], 8, 8))
+    return assemble_chroma(x, mb_h, mb_w)
+
+
+def _mb_mask_luma(per_mb: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    return _mask_luma(jnp.broadcast_to(per_mb[:, None], (per_mb.shape[0], 4)),
+                      mb_h, mb_w)
+
+
+def _combine(base: jnp.ndarray, resid: jnp.ndarray, coded: jnp.ndarray,
+             intra: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel select: uncoded -> base; coded intra -> clamp(resid);
+    coded non-intra -> clamp(base + resid)."""
+    added = jnp.clip(base + resid, 0, 255)
+    over = jnp.clip(resid, 0, 255)
+    out = jnp.where(coded, jnp.where(intra, over, added), base)
+    return out.astype(jnp.uint8)
+
+
+def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
+                        mb_h: int, mb_w: int) -> Planes:
+    """One picture: returns the decoded planes (the caller handles the
+    current/forward rotation)."""
+    resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))      # [n_mb, 6, 8, 8]
+
+    ry = assemble_luma(resid[:, :4], mb_h, mb_w)
+    rcb = assemble_chroma(resid[:, 4], mb_h, mb_w)
+    rcr = assemble_chroma(resid[:, 5], mb_h, mb_w)
+
+    written_y = _mb_mask_luma(f.written, mb_h, mb_w)
+    written_c = _mask_chroma(f.written, mb_h, mb_w)
+    coded_y = _mask_luma(f.coded[:, :4], mb_h, mb_w)
+    coded_cb = _mask_chroma(f.coded[:, 4], mb_h, mb_w)
+    coded_cr = _mask_chroma(f.coded[:, 5], mb_h, mb_w)
+    intra_y = _mb_mask_luma(f.intra, mb_h, mb_w)
+    intra_c = _mask_chroma(f.intra, mb_h, mb_w)
+
+    pred_y = motion_compensate(fwd.y, f.mv_h, f.mv_v, mb_h, mb_w, 16)
+    cmh = chroma_mv(f.mv_h)
+    cmv = chroma_mv(f.mv_v)
+    pred_cr = motion_compensate(fwd.cr, cmh, cmv, mb_h, mb_w, 8)
+    pred_cb = motion_compensate(fwd.cb, cmh, cmv, mb_h, mb_w, 8)
+
+    base_y = jnp.where(written_y, pred_y, cur.y.astype(jnp.int32))
+    base_cr = jnp.where(written_c, pred_cr, cur.cr.astype(jnp.int32))
+    base_cb = jnp.where(written_c, pred_cb, cur.cb.astype(jnp.int32))
+
+    return Planes(
+        y=_combine(base_y, ry, coded_y, intra_y),
+        cr=_combine(base_cr, rcr, coded_cr, intra_c),
+        cb=_combine(base_cb, rcb, coded_cb, intra_c),
+    )
+
+
+def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int):
+    """lax.scan step over the frames of a GOP.
+
+    carry = (cur, fwd): `fwd` is the reference (last decoded I/P picture),
+    `cur` is the stale buffer being overwritten (the reference's pointer
+    rotation at src/mpeg1.js:220-246 expressed as a scan carry)."""
+    cur, fwd = carry
+    out = decode_frame_planes(cur, fwd, f, mb_h, mb_w)
+
+    def keep(old, new):
+        return jnp.where(f.valid, new, old)
+
+    out = Planes(*[keep(o, n) for o, n in zip(fwd, out)])
+    new_cur = Planes(*[keep(c, x) for c, x in zip(cur, fwd)])
+    return (new_cur, out), out

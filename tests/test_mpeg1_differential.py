@@ -1,0 +1,78 @@
+"""Differential tests: the TPU decode pipeline must match the independent
+oracle decoder bit-exactly on every plane of every frame."""
+
+import numpy as np
+import pytest
+
+from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+from jsmpeg_tpu.testing.gen import encode_test_stream
+from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+
+def _compare(es: bytes, use_scan: bool = True):
+    golden = OracleMPEG1(es).decode_all()
+    dec = MPEG1Decoder()
+    dec.write(0.0, es)
+    if use_scan:
+        outs = dec.decode_available(eof=True) or []
+    else:
+        outs = []
+        while True:
+            p = dec.decode(eof=True)
+            if p is None:
+                break
+            outs.append(p)
+    assert len(outs) == len(golden), (len(outs), len(golden))
+    for i, ((gy, gcr, gcb), p) in enumerate(zip(golden, outs)):
+        py, pcr, pcb = np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb)
+        for name, g, o in (('y', gy, py), ('cr', gcr, pcr), ('cb', gcb, pcb)):
+            if not np.array_equal(g, o):
+                diff = np.argwhere(g.astype(int) != o.astype(int))
+                raise AssertionError(
+                    f'frame {i} plane {name}: {len(diff)} mismatches, '
+                    f'first at {diff[0]}: golden={g[tuple(diff[0])]} '
+                    f'got={o[tuple(diff[0])]}')
+    return len(outs)
+
+
+def test_intra_only_bit_exact():
+    es, _ = encode_test_stream(96, 64, n_frames=3, seed=1, gop=1)
+    assert _compare(es) == 3
+
+
+def test_ip_gop_bit_exact():
+    es, _ = encode_test_stream(96, 64, n_frames=8, seed=2, gop=4)
+    assert _compare(es) == 8
+
+
+def test_ip_fcode1_bit_exact():
+    es, _ = encode_test_stream(80, 48, n_frames=6, seed=3, gop=3, f_code=1)
+    assert _compare(es) == 6
+
+
+def test_ip_fcode3_bit_exact():
+    es, _ = encode_test_stream(128, 96, n_frames=6, seed=4, gop=6, f_code=3)
+    assert _compare(es) == 6
+
+
+def test_custom_matrices_bit_exact():
+    es, _ = encode_test_stream(64, 48, n_frames=5, seed=5, gop=2,
+                               custom_matrices=True, qscale=4)
+    assert _compare(es) == 5
+
+
+def test_non_mb_aligned_dims():
+    # 100x70 -> coded 112x80 with padding macroblock columns/rows
+    es, _ = encode_test_stream(100, 70, n_frames=4, seed=6, gop=2)
+    assert _compare(es) == 4
+
+
+def test_single_frame_path_matches():
+    es, _ = encode_test_stream(64, 48, n_frames=5, seed=7, gop=5)
+    assert _compare(es, use_scan=False) == 5
+
+
+def test_high_qscale_saturation():
+    # large qscale drives dequant clamp paths (+/-2047/2048)
+    es, _ = encode_test_stream(48, 32, n_frames=4, seed=8, gop=2, qscale=31)
+    assert _compare(es) == 4
