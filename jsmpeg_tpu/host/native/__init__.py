@@ -1,0 +1,133 @@
+"""ctypes binding for the C++ host frontend (drop-in MPEG1Parser)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+from ... import tables as T
+from ..mpeg1_parse import FrameData, SequenceInfo
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    from .build_native import ensure_built
+    path = ensure_built()
+    lib = ctypes.CDLL(path)
+    lib.mpeg1_parser_create.restype = ctypes.c_void_p
+    lib.mpeg1_parser_destroy.argtypes = [ctypes.c_void_p]
+    lib.mpeg1_parser_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int64]
+    lib.mpeg1_parser_has_seq.argtypes = [ctypes.c_void_p]
+    lib.mpeg1_parser_seq_info.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.mpeg1_parser_quant.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                       ctypes.c_void_p]
+    lib.mpeg1_parser_parse_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_int] + [ctypes.c_void_p] * 6
+    lib.mpeg1_parser_bit_index.argtypes = [ctypes.c_void_p]
+    lib.mpeg1_parser_bit_index.restype = ctypes.c_int64
+    lib.mpeg1_parser_set_bit_index.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_int64]
+    lib.mpeg1_parser_evict.argtypes = [ctypes.c_void_p]
+    lib.mpeg1_parser_evict.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+class NativeMPEG1Parser:
+    """Same contract as host.mpeg1_parse.MPEG1Parser, C++ inside."""
+
+    def __init__(self):
+        self._lib = _load()
+        self._p = ctypes.c_void_p(self._lib.mpeg1_parser_create())
+        self.seq: Optional[SequenceInfo] = None
+        self.quirk_leaks = 0
+        self.frames_parsed = 0
+
+    def __del__(self):
+        if getattr(self, '_p', None):
+            self._lib.mpeg1_parser_destroy(self._p)
+            self._p = None
+
+    def write(self, data) -> None:
+        b = bytes(data)
+        self._lib.mpeg1_parser_write(self._p, b, len(b))
+        if self.seq is None and self._lib.mpeg1_parser_has_seq(self._p):
+            self._read_seq()
+
+    def _read_seq(self) -> None:
+        info = np.zeros(5, dtype=np.int32)
+        self._lib.mpeg1_parser_seq_info(self._p, _ptr(info))
+        intra_q = np.zeros(64, dtype=np.int32)
+        non_intra_q = np.zeros(64, dtype=np.int32)
+        self._lib.mpeg1_parser_quant(self._p, _ptr(intra_q), _ptr(non_intra_q))
+        self.seq = SequenceInfo(
+            width=int(info[0]), height=int(info[1]),
+            mb_width=int(info[2]), mb_height=int(info[3]),
+            frame_rate=T.PICTURE_RATE[int(info[4])],
+            intra_quant_matrix=intra_q, non_intra_quant_matrix=non_intra_q)
+
+    @property
+    def has_sequence_header(self) -> bool:
+        return self.seq is not None
+
+    @property
+    def bits(self):
+        return _BitsProxy(self)
+
+    def parse_frame(self, eof: bool = False) -> Optional[FrameData]:
+        if self.seq is None:
+            return None
+        n_mb = self.seq.mb_size
+        coef = np.empty((n_mb, 6, 64), dtype=np.int32)
+        coded = np.empty((n_mb, 6), dtype=np.uint8)
+        intra = np.empty(n_mb, dtype=np.uint8)
+        written = np.empty(n_mb, dtype=np.uint8)
+        mv = np.empty((n_mb, 2), dtype=np.int32)
+        info = np.zeros(3, dtype=np.int64)
+        r = self._lib.mpeg1_parser_parse_frame(
+            self._p, 1 if eof else 0, _ptr(coef), _ptr(coded), _ptr(intra),
+            _ptr(written), _ptr(mv), _ptr(info))
+        self.quirk_leaks = int(info[1])
+        if not r:
+            return None
+        self.frames_parsed += 1
+        return FrameData(int(info[0]), coef, coded.astype(bool),
+                         intra.astype(bool), written.astype(bool), mv)
+
+
+class _BitsProxy:
+    """Exposes the bit-index/evict surface the decoder layer uses."""
+
+    def __init__(self, parser: NativeMPEG1Parser):
+        self._parser = parser
+
+    @property
+    def index(self) -> int:
+        return self._parser._lib.mpeg1_parser_bit_index(self._parser._p)
+
+    @index.setter
+    def index(self, v: int) -> None:
+        self._parser._lib.mpeg1_parser_set_bit_index(self._parser._p, v)
+
+    def evict_consumed(self) -> int:
+        return self._parser._lib.mpeg1_parser_evict(self._parser._p)

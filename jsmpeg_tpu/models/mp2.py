@@ -37,6 +37,14 @@ class MP2Decoder:
         self._v_chunks = np.zeros((15, 2, 64), dtype=np.float32)
         self._v_pos = 0
         self.on_decode = options.get('onAudioDecode')
+        self.streaming = bool(options.get('streaming'))
+        self.collect_timestamps = not self.streaming
+        self.bytes_written = 0
+        self.timestamps: list = []
+        self.timestamp_index = 0
+        self.start_time = 0.0
+        self.decoded_time = 0.0
+        self.can_play = False
 
     def connect(self, destination) -> None:
         self.destination = destination
@@ -44,19 +52,71 @@ class MP2Decoder:
     def write(self, pts, buffers) -> None:
         if isinstance(buffers, (bytes, bytearray, memoryview, np.ndarray)):
             buffers = [buffers]
+        if self.collect_timestamps and pts is not None:
+            if not self.timestamps:
+                self.start_time = pts
+                self.decoded_time = pts
+            self.timestamps.append((self.bytes_written << 3, pts))
         for b in buffers:
-            self.parser.write(b)
+            data = bytes(b)
+            self.bytes_written += len(data)
+            self.parser.write(data)
+        self.can_play = True
+
+    @property
+    def current_time(self) -> float:
+        enq = 0.0
+        if self.destination is not None:
+            enq = getattr(self.destination, 'enqueued_time', 0.0)
+        return self.decoded_time - enq
+
+    def seek(self, time: float) -> None:
+        if not self.collect_timestamps:
+            return
+        self.timestamp_index = 0
+        for i, (_, t) in enumerate(self.timestamps):
+            if t > time:
+                break
+            self.timestamp_index = i
+        if self.timestamps:
+            idx, t = self.timestamps[self.timestamp_index]
+            self.parser.bits.index = idx
+            self.decoded_time = t
+        else:
+            self.parser.bits.index = 0
+            self.decoded_time = self.start_time
+
+    def advance_decoded_time(self, seconds: float) -> None:
+        if self.collect_timestamps:
+            new_index = -1
+            current = self.parser.bits.index
+            for i in range(self.timestamp_index, len(self.timestamps)):
+                if self.timestamps[i][0] > current:
+                    break
+                new_index = i
+            if new_index != -1 and new_index != self.timestamp_index:
+                self.timestamp_index = new_index
+                self.decoded_time = self.timestamps[new_index][1]
+                return
+        self.decoded_time += seconds
 
     def decode(self):
         """Decode one frame -> (left, right) float32[1152] or None."""
+        import time as _time
+        t0 = _time.monotonic()
         frame = self.parser.parse_frame()
         if frame is None:
             return None
         self.sample_rate = frame.sample_rate
         pcm = self._synthesize(frame.samples)
         left, right = pcm[0], pcm[1]
+        self.advance_decoded_time(1152.0 / self.sample_rate)
+        if self.streaming:
+            self.parser.bits.evict_consumed()
         if self.destination is not None:
             self.destination.play(self.sample_rate, left, right)
+        if self.on_decode is not None:
+            self.on_decode(self, _time.monotonic() - t0)
         return left, right
 
     def decode_available(self):
@@ -67,6 +127,7 @@ class MP2Decoder:
             if f is None:
                 break
             frames.append(f)
+            self.advance_decoded_time(1152.0 / f.sample_rate)
         if not frames:
             return None
         self.sample_rate = frames[-1].sample_rate

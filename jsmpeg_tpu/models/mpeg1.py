@@ -76,12 +76,30 @@ class MPEG1Decoder:
 
     def __init__(self, options: Optional[dict] = None):
         options = options or {}
-        self.parser = MPEG1Parser()
+        use_native = options.get('native')
+        if use_native is None:
+            from ..host import best_parser
+            self.parser = best_parser()
+        elif use_native:
+            from ..host.native import NativeMPEG1Parser
+            self.parser = NativeMPEG1Parser()
+        else:
+            self.parser = MPEG1Parser()
         self.destination = None
         self._cur: Optional[Planes] = None
         self._fwd: Optional[Planes] = None
         self.frame_rate = 30.0
         self.on_decode = options.get('onVideoDecode')
+        # timestamp collection for static-file A/V sync + seek
+        # (semantics of the reference Decoder.Base, src/decoder.js:36-102)
+        self.streaming = bool(options.get('streaming'))
+        self.collect_timestamps = not self.streaming
+        self.bytes_written = 0
+        self.timestamps: list = []      # (bit_index, pts)
+        self.timestamp_index = 0
+        self.start_time = 0.0
+        self.decoded_time = 0.0
+        self.can_play = False
 
     # ------------------------------------------------------- decoder API
 
@@ -91,10 +109,52 @@ class MPEG1Decoder:
     def write(self, pts, buffers) -> None:
         if isinstance(buffers, (bytes, bytearray, memoryview, np.ndarray)):
             buffers = [buffers]
+        if self.collect_timestamps and pts is not None:
+            if not self.timestamps:
+                self.start_time = pts
+                self.decoded_time = pts
+            self.timestamps.append((self.bytes_written << 3, pts))
         for b in buffers:
-            self.parser.write(b)
+            data = bytes(b)
+            self.bytes_written += len(data)
+            self.parser.write(data)
+        self.can_play = True
         if self.parser.has_sequence_header and self._cur is None:
             self._init_planes()
+
+    @property
+    def current_time(self) -> float:
+        return self.decoded_time
+
+    def seek(self, time: float) -> None:
+        if not self.collect_timestamps:
+            return
+        self.timestamp_index = 0
+        for i, (_, t) in enumerate(self.timestamps):
+            if t > time:
+                break
+            self.timestamp_index = i
+        if self.timestamps:
+            idx, t = self.timestamps[self.timestamp_index]
+            self.parser.bits.index = idx
+            self.decoded_time = t
+        else:
+            self.parser.bits.index = 0
+            self.decoded_time = self.start_time
+
+    def advance_decoded_time(self, seconds: float) -> None:
+        if self.collect_timestamps:
+            new_index = -1
+            current = self.parser.bits.index
+            for i in range(self.timestamp_index, len(self.timestamps)):
+                if self.timestamps[i][0] > current:
+                    break
+                new_index = i
+            if new_index != -1 and new_index != self.timestamp_index:
+                self.timestamp_index = new_index
+                self.decoded_time = self.timestamps[new_index][1]
+                return
+        self.decoded_time += seconds
 
     def _init_planes(self) -> None:
         seq = self.parser.seq
@@ -103,8 +163,11 @@ class MPEG1Decoder:
         z = lambda h, w: jnp.zeros((h, w), dtype=jnp.uint8)
         self._cur = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
         self._fwd = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
-        if self.destination is not None and hasattr(self.destination, 'resize'):
-            self.destination.resize(seq.width, seq.height)
+        if self.destination is not None:
+            if hasattr(self.destination, 'resize'):
+                self.destination.resize(seq.width, seq.height)
+            if hasattr(self.destination, 'frame_rate'):
+                self.destination.frame_rate = seq.frame_rate
 
     @property
     def seq(self):
@@ -112,6 +175,8 @@ class MPEG1Decoder:
 
     def decode(self, eof: bool = False):
         """Decode one picture; returns Planes or None."""
+        import time as _time
+        t0 = _time.monotonic()
         fd = self.parser.parse_frame(eof=eof)
         if fd is None:
             return None
@@ -119,8 +184,13 @@ class MPEG1Decoder:
         self._cur, self._fwd, out = decode_one(
             self._cur, self._fwd, frame_to_arrays(fd),
             mb_h=seq.mb_height, mb_w=seq.mb_width)
+        self.advance_decoded_time(1.0 / self.frame_rate)
+        if self.streaming:
+            self.parser.bits.evict_consumed()
         if self.destination is not None:
             self.destination.render(out.y, out.cr, out.cb)
+        if self.on_decode is not None:
+            self.on_decode(self, _time.monotonic() - t0)
         return out
 
     def decode_available(self, eof: bool = False, pad_to: int = 0):
@@ -132,6 +202,7 @@ class MPEG1Decoder:
             if fd is None:
                 break
             frames.append(frame_to_arrays(fd))
+            self.advance_decoded_time(1.0 / self.frame_rate)
         if not frames:
             return None
         seq = self.parser.seq

@@ -1,0 +1,257 @@
+"""Player: wires source -> TS demuxer -> decoders -> sinks and schedules
+decoding (the reference Player's role, /root/reference/src/player.js,
+with its rAF loop replaced by explicit tick/run/offline drivers).
+
+Scheduling policies kept from the reference:
+- static files: audio-clock-driven A/V sync (keep <= max_audio_lag of
+  audio decoded ahead; decode video while it trails the audio clock),
+  source throttling via headroom, loop/ended/stalled.
+- streaming: decode everything available, latest-wins, and disable audio
+  when it lags more than max_audio_lag behind.
+
+Plus a TPU-native mode the reference can't do: `decode_offline()` batches
+every buffered picture through one device scan for maximum throughput.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Union
+
+from .config import PlayerConfig
+from .demux import TSDemuxer
+from .models.mp2 import MP2Decoder
+from .models.mpeg1 import MPEG1Decoder
+from .sinks import (AudioSinkBase, NullAudioSink, NullVideoSink,
+                    PacedAudioSink, VideoSinkBase)
+from .sources import (BaseSource, BytesSource, FileSource,
+                      ProgressiveFileSource, PushSource, TCPSource)
+from . import tables as T
+
+
+def make_source(target: Union[str, bytes, BaseSource],
+                cfg: PlayerConfig) -> BaseSource:
+    if isinstance(target, BaseSource):
+        return target
+    if isinstance(target, (bytes, bytearray, memoryview)):
+        return BytesSource(bytes(target))
+    if isinstance(target, str):
+        if target.startswith('tcp://'):
+            host, _, port = target[6:].partition(':')
+            return TCPSource(host, int(port or 8082),
+                             reconnect_interval=cfg.reconnect_interval)
+        if target.startswith(('ws://', 'wss://')):
+            from .net.ws import WebSocketSource
+            return WebSocketSource(target,
+                                   reconnect_interval=cfg.reconnect_interval)
+        if cfg.progressive:
+            return ProgressiveFileSource(target, chunk_size=cfg.chunk_size,
+                                         throttled=cfg.throttled)
+        return FileSource(target)
+    raise TypeError(f'unsupported source: {type(target)}')
+
+
+class Player:
+    def __init__(self, source: Union[str, bytes, BaseSource],
+                 options: Optional[dict] = None,
+                 renderer: Optional[VideoSinkBase] = None,
+                 audio_out: Optional[AudioSinkBase] = None):
+        cfg = PlayerConfig.from_options(options)
+        self.cfg = cfg
+        self.source = make_source(source, cfg)
+        self.streaming = self.source.streaming or cfg.streaming
+
+        self.demuxer = TSDemuxer()
+        self.source.connect(self.demuxer)
+
+        opts = {'streaming': self.streaming,
+                'onVideoDecode': cfg.on_video_decode,
+                'onAudioDecode': cfg.on_audio_decode}
+        self.video: Optional[MPEG1Decoder] = None
+        self.audio: Optional[MP2Decoder] = None
+        self.renderer = renderer if renderer is not None else NullVideoSink()
+        self.audio_out = audio_out if audio_out is not None else \
+            (PacedAudioSink(NullAudioSink()) if self.streaming
+             else NullAudioSink())
+
+        if cfg.video:
+            self.video = MPEG1Decoder(opts)
+            self.demuxer.connect(T.TS_STREAM_VIDEO_1, self.video)
+            self.video.connect(self.renderer)
+        if cfg.audio:
+            self.audio = MP2Decoder(opts, mode=cfg.audio_mode)
+            self.demuxer.connect(T.TS_STREAM_AUDIO_1, self.audio)
+            self.audio.connect(self.audio_out)
+
+        self.paused = True
+        self.is_playing = False
+        self._wants_to_play = False
+        self._start_time = 0.0
+        self._ended_fired = False
+
+        if cfg.autoplay:
+            self.play()
+
+    # ----------------------------------------------------------- controls
+
+    def play(self) -> None:
+        if self.is_playing:
+            return
+        self._wants_to_play = True
+        self.paused = False
+        self.is_playing = True
+        if not self.source.established and not getattr(
+                self.source, '_started', False):
+            self.source._started = True
+            self.source.start()
+        if self.cfg.on_play:
+            self.cfg.on_play(self)
+
+    def pause(self) -> None:
+        if self.paused:
+            return
+        self.paused = True
+        self.is_playing = False
+        self._wants_to_play = False
+        if hasattr(self.audio_out, 'stop'):
+            self.audio_out.stop()
+        if self.cfg.on_pause:
+            self.cfg.on_pause(self)
+
+    def stop(self) -> None:
+        self.pause()
+        self.seek(0.0)
+        if self.video is not None:
+            self.video.can_play = False
+        if self.audio is not None:
+            self.audio.can_play = False
+
+    def destroy(self) -> None:
+        self.pause()
+        self.source.destroy()
+        self.renderer.close()
+        self.audio_out.close()
+
+    @property
+    def current_time(self) -> float:
+        if self.audio is not None and self.audio.can_play:
+            return self.audio.current_time
+        if self.video is not None:
+            return self.video.current_time
+        return 0.0
+
+    def seek(self, t: float) -> None:
+        start = (self.audio.start_time if self.audio and self.audio.can_play
+                 else self.video.start_time if self.video else 0.0)
+        if self.video is not None:
+            self.video.seek(t + start)
+        if self.audio is not None:
+            self.audio.seek(t + start)
+
+    def next_frame(self):
+        if self.source.established and self.video is not None:
+            return self.video.decode(eof=self.source.completed)
+        return None
+
+    # ---------------------------------------------------------- schedulers
+
+    def tick(self, realtime: bool = False) -> bool:
+        """One update: pull from the source, decode per policy.
+        Returns False once playback has ended."""
+        if isinstance(self.source, TCPSource):
+            self.source.drain()
+        if not self.source.established or self.paused:
+            return not self._ended_fired
+        if self.streaming:
+            return self._tick_streaming()
+        return self._tick_static(realtime)
+
+    def _tick_streaming(self) -> bool:
+        if self.video is not None:
+            self.video.decode(eof=False)
+        if self.audio is not None:
+            decoded = True
+            while decoded:
+                decoded = self.audio.decode() is not None
+                if (self.audio_out.enqueued_time > self.cfg.max_audio_lag
+                        and hasattr(self.audio_out, 'reset_enqueued_time')):
+                    self.audio_out.reset_enqueued_time()
+                    break
+        return True
+
+    def _tick_static(self, realtime: bool) -> bool:
+        eof = self.source.completed
+        decoded = False
+        headroom = 0.0
+        if self.audio is not None and self.audio.can_play:
+            # audio is the master clock
+            while (self.audio.decoded_time - self.audio.current_time
+                   < self.cfg.max_audio_lag):
+                if self.audio.decode() is None:
+                    break
+                decoded = True
+            if (self.video is not None and self.video.can_play
+                    and self.video.current_time < self.audio.current_time):
+                decoded = (self.video.decode(eof=eof) is not None) or decoded
+            headroom = self.demuxer.current_time - self.audio.current_time
+        elif self.video is not None and self.video.can_play:
+            if realtime:
+                target = (time.monotonic() - self._start_time
+                          + self.video.start_time)
+                late = target - self.video.current_time
+                if late > 2.0 / self.video.frame_rate:
+                    self._start_time += late   # resync after a stall
+                if self.video.current_time <= target:
+                    decoded = self.video.decode(eof=eof) is not None
+                else:
+                    decoded = True
+            else:
+                decoded = self.video.decode(eof=eof) is not None
+            headroom = self.demuxer.current_time - self.video.current_time
+
+        self.source.resume(headroom)
+
+        if not decoded:
+            if self.source.completed:
+                if self.cfg.loop:
+                    self.seek(0.0)
+                    return True
+                self.is_playing = False
+                if not self._ended_fired:
+                    self._ended_fired = True
+                    if self.cfg.on_ended:
+                        self.cfg.on_ended(self)
+                return False
+            if self.cfg.on_stalled:
+                self.cfg.on_stalled(self)
+        return True
+
+    def run(self, realtime: bool = False, max_seconds: float = None) -> None:
+        """Drive tick() until ended (static) or max_seconds (streaming)."""
+        self.play()
+        self._start_time = time.monotonic()
+        deadline = None if max_seconds is None else \
+            time.monotonic() + max_seconds
+        while self.tick(realtime=realtime):
+            if deadline is not None and time.monotonic() > deadline:
+                break
+            if realtime:
+                time.sleep(0.001)
+
+    def decode_offline(self):
+        """TPU-throughput mode for static sources: load everything, then
+        batch all pictures / audio frames through the device pipelines."""
+        self.play()
+        if isinstance(self.source, ProgressiveFileSource):
+            self.source.load_all()
+        self.demuxer.flush()
+        n_video = n_audio = 0
+        if self.video is not None:
+            frames = self.video.decode_available(eof=True)
+            n_video = len(frames) if frames else 0
+        if self.audio is not None:
+            pcm = self.audio.decode_available()
+            n_audio = pcm.shape[0] if pcm is not None else 0
+        if self.cfg.on_ended:
+            self.cfg.on_ended(self)
+        return n_video, n_audio

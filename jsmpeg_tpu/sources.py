@@ -1,0 +1,188 @@
+"""Data sources.
+
+Source contract (mirrors /root/reference/src/jsmpeg.js:24-33):
+  connect(destination), start(), resume(headroom_seconds), destroy(),
+  established, completed, progress, streaming.
+
+Implementations:
+  BytesSource            in-memory buffer (reference: Ajax whole-file)
+  FileSource             whole-file read
+  ProgressiveFileSource  chunked reads with headroom throttling
+                         (reference: AjaxProgressive + Range requests)
+  PushSource             external writes, e.g. a network callback
+                         (reference: WebSocket onmessage push)
+  TCPSource              live stream over a TCP socket (relay sidecar)
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import threading
+from typing import Optional
+
+
+class BaseSource:
+    streaming = False
+
+    def __init__(self):
+        self.destination = None
+        self.established = False
+        self.completed = False
+        self.progress = 0.0
+
+    def connect(self, destination) -> None:
+        self.destination = destination
+
+    def start(self) -> None:
+        raise NotImplementedError
+
+    def resume(self, seconds_headroom: float) -> None:
+        pass
+
+    def destroy(self) -> None:
+        pass
+
+
+class BytesSource(BaseSource):
+    def __init__(self, data: bytes):
+        super().__init__()
+        self.data = bytes(data)
+
+    def start(self) -> None:
+        self.established = True
+        self.completed = True
+        self.progress = 1.0
+        if self.destination is not None:
+            self.destination.write(self.data)
+
+
+class FileSource(BytesSource):
+    def __init__(self, path: str):
+        with open(path, 'rb') as f:
+            data = f.read()
+        super().__init__(data)
+
+
+class ProgressiveFileSource(BaseSource):
+    """Chunked loading with the reference's throttle policy: the next chunk
+    loads when the player reports low headroom (resume())."""
+
+    def __init__(self, path: str, chunk_size: int = 1024 * 1024,
+                 throttled: bool = True):
+        super().__init__()
+        self.path = path
+        self.chunk_size = chunk_size
+        self.throttled = throttled
+        self.file_size = os.path.getsize(path)
+        self.loaded_size = 0
+        self._fh = None
+
+    def start(self) -> None:
+        self._fh = open(self.path, 'rb')
+        self.load_next_chunk()
+
+    def destroy(self) -> None:
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+    def resume(self, seconds_headroom: float) -> None:
+        # the reference keeps loading while estimated load time (negligible
+        # locally) + 2s exceeds the headroom
+        if self.throttled and seconds_headroom <= 2.0:
+            self.load_next_chunk()
+
+    def load_next_chunk(self) -> None:
+        if self._fh is None or self.completed:
+            return
+        chunk = self._fh.read(self.chunk_size)
+        self.loaded_size += len(chunk)
+        self.established = True
+        self.progress = self.loaded_size / max(self.file_size, 1)
+        if self.loaded_size >= self.file_size:
+            self.completed = True
+            self.progress = 1.0
+        if chunk and self.destination is not None:
+            self.destination.write(chunk)
+
+    def load_all(self) -> None:
+        while not self.completed:
+            self.load_next_chunk()
+
+
+class PushSource(BaseSource):
+    """External pushes (network callback, test harness, relay client)."""
+    streaming = True
+
+    def start(self) -> None:
+        pass
+
+    def write(self, chunk: bytes) -> None:
+        self.established = True
+        if self.destination is not None:
+            self.destination.write(chunk)
+
+    def complete(self) -> None:
+        self.completed = True
+
+
+class TCPSource(BaseSource):
+    """Connects to a host:port emitting raw MPEG-TS (e.g. the bundled
+    relay, tools/relay.py) and pushes chunks from a reader thread."""
+    streaming = True
+
+    def __init__(self, host: str, port: int,
+                 reconnect_interval: float = 5.0):
+        super().__init__()
+        self.host = host
+        self.port = port
+        self.reconnect_interval = reconnect_interval
+        self._sock: Optional[socket.socket] = None
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._pending = []
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def destroy(self) -> None:
+        self._stop.set()
+        if self._sock:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self._sock = socket.create_connection(
+                    (self.host, self.port), timeout=5.0)
+                self._sock.settimeout(1.0)
+                while not self._stop.is_set():
+                    try:
+                        chunk = self._sock.recv(65536)
+                    except socket.timeout:
+                        continue
+                    if not chunk:
+                        break
+                    self.established = True
+                    with self._lock:
+                        self._pending.append(chunk)
+            except OSError:
+                pass
+            if self._stop.is_set():
+                return
+            self._stop.wait(self.reconnect_interval)
+
+    def drain(self) -> None:
+        """Deliver buffered chunks on the caller's thread (the player tick
+        pulls here so decoding stays single-owner)."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+        for chunk in pending:
+            if self.destination is not None:
+                self.destination.write(chunk)

@@ -1,0 +1,49 @@
+"""Small utilities: device<->host transfer helpers.
+
+Some PJRT transports (notably the tunneled single-chip dev setup this repo
+is benchmarked on) have pathologically slow device->host paths for small
+integer dtypes while float32 readback runs at full link speed.  `fetch`
+bitcasts integer arrays to float32 on device (free) and rebuilds the bytes
+on host, turning 100s-class readbacks into ~50 ms.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pack_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8/int8 [..., W] -> float32 [..., W/4] carrying identical bytes."""
+    assert x.shape[-1] % 4 == 0, x.shape
+    b = x.reshape(*x.shape[:-1], x.shape[-1] // 4, 4)
+    i32 = jax.lax.bitcast_convert_type(b, jnp.int32)
+    return jax.lax.bitcast_convert_type(i32, jnp.float32)
+
+
+@jax.jit
+def _pack_u8_jit(x):
+    return _pack_f32(x)
+
+
+def fetch(x) -> np.ndarray:
+    """np.asarray(x), routed around slow integer readback paths."""
+    if isinstance(x, np.ndarray):
+        return x
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    dt = x.dtype
+    if dt in (jnp.uint8, jnp.int8) and x.ndim >= 1 and x.shape[-1] % 4 == 0:
+        packed = np.ascontiguousarray(np.asarray(_pack_u8_jit(x)))
+        # little-endian byte order of the int32 lanes == original byte order
+        return packed.view(np.dtype(dt.name)).reshape(x.shape)
+    if dt in (jnp.int32, jnp.uint32):
+        f = np.asarray(jax.lax.bitcast_convert_type(x, jnp.float32))
+        return f.view(np.dtype(dt.name))
+    return np.asarray(x)
+
+
+def fetch_planes(planes):
+    """Fetch a Planes namedtuple (or any tuple of arrays) to numpy."""
+    return type(planes)(*[fetch(p) for p in planes])

@@ -1,0 +1,115 @@
+"""End-to-end: .ts file -> Player -> decoded planes + PCM, vs oracles."""
+
+import numpy as np
+import pytest
+
+from jsmpeg_tpu.player import Player
+from jsmpeg_tpu.sinks import PCMCollector, VideoCollector
+from jsmpeg_tpu.testing.gen import encode_test_stream
+from jsmpeg_tpu.testing.mp2_enc import encode_stream as mp2_stream
+from jsmpeg_tpu.testing.ts_mux import mux_av, mux_video
+from tests.oracle.ref_mp2 import OracleMP2
+from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+
+@pytest.fixture(scope='module')
+def av_ts():
+    es, chunks = encode_test_stream(64, 48, n_frames=6, seed=12, gop=3,
+                                    frame_rate=25.0)
+    audio_es, audio_frames = mp2_stream(10, seed=13)
+    # drop the trailing sequence-end chunk from the PES list (it is part of
+    # the last frame payload in chunked form)
+    vframes = chunks[:-1]
+    vframes[-1] = vframes[-1] + chunks[-1]
+    ts = mux_av(vframes, 25.0, audio_frames, 1152, 44100)
+    return ts, es, audio_es
+
+
+def test_offline_av_decode_matches_oracles(av_ts):
+    ts, video_es, audio_es = av_ts
+    vc, ac = VideoCollector(), PCMCollector()
+    p = Player(ts, {'progressive': False}, renderer=vc, audio_out=ac)
+    n_video, n_audio = p.decode_offline()
+
+    golden_v = OracleMPEG1(video_es).decode_all()
+    golden_a = OracleMP2(audio_es).decode_all()
+    assert n_video == len(golden_v) == 6
+    assert n_audio == len(golden_a) == 10
+    for (gy, gcr, gcb), (py, pcr, pcb) in zip(golden_v, vc.frames):
+        assert np.array_equal(gy, py)
+        assert np.array_equal(gcr, pcr)
+        assert np.array_equal(gcb, pcb)
+    got = ac.pcm
+    gl = np.concatenate([f[0] for f in golden_a])
+    gr = np.concatenate([f[1] for f in golden_a])
+    assert np.array_equal(got[0], gl)
+    assert np.array_equal(got[1], gr)
+
+
+def test_tick_driven_av_sync(av_ts):
+    ts, video_es, audio_es = av_ts
+    vc, ac = VideoCollector(), PCMCollector()
+    p = Player(ts, {'progressive': False}, renderer=vc, audio_out=ac)
+    p.run(realtime=False)
+    assert vc.frames_rendered == 6
+    assert ac.samples_played == 10 * 1152
+    # bit-exact through the tick path too
+    golden_v = OracleMPEG1(video_es).decode_all()
+    for (gy, _, _), (py, _, _) in zip(golden_v, vc.frames):
+        assert np.array_equal(gy, py)
+
+
+def test_video_only_file(tmp_path):
+    es, chunks = encode_test_stream(48, 32, n_frames=4, seed=14, gop=2)
+    vframes = chunks[:-1]
+    vframes[-1] = vframes[-1] + chunks[-1]
+    ts = mux_video(vframes, 25.0)
+    path = tmp_path / 'clip.ts'
+    path.write_bytes(ts)
+    vc = VideoCollector()
+    p = Player(str(path), {'audio': False, 'chunkSize': 512}, renderer=vc)
+    p.run()
+    assert vc.frames_rendered == 4
+    golden = OracleMPEG1(es).decode_all()
+    for (gy, _, _), (py, _, _) in zip(golden, vc.frames):
+        assert np.array_equal(gy, py)
+
+
+def test_seek_and_loop(av_ts):
+    ts, video_es, _ = av_ts
+    vc = VideoCollector()
+    p = Player(ts, {'progressive': False, 'audio': False}, renderer=vc)
+    p.run()
+    n1 = vc.frames_rendered
+    assert n1 == 6
+    p.seek(0.0)
+    p._ended_fired = False
+    p.play()
+    while p.tick():
+        pass
+    # after seek to 0 we decode the stream again (frames re-rendered)
+    assert vc.frames_rendered > n1
+
+
+def test_streaming_push_source():
+    from jsmpeg_tpu.sources import PushSource
+    es, chunks = encode_test_stream(48, 32, n_frames=4, seed=15, gop=2)
+    vframes = chunks[:-1]
+    vframes[-1] = vframes[-1] + chunks[-1]
+    ts = mux_video(vframes, 25.0)
+    src = PushSource()
+    vc = VideoCollector()
+    p = Player(src, {'audio': False}, renderer=vc)
+    p.play()
+    # push in odd-sized chunks like a network would
+    pos = 0
+    while pos < len(ts):
+        src.write(ts[pos:pos + 1001])
+        pos += 1001
+        p.tick()
+    for _ in range(8):
+        p.tick()
+    assert vc.frames_rendered >= 3   # streaming mode decodes what is buffered
+    golden = OracleMPEG1(es).decode_all()
+    for (gy, _, _), (py, _, _) in zip(golden, vc.frames):
+        assert np.array_equal(gy, py)
