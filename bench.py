@@ -7,19 +7,22 @@ Prints ONE JSON line:
 vs_baseline is relative to the reference's published sustained 720p rate
 (30 fps on its target device, reference README.md:5).  The BASELINE.json
 target is >10x a single WASM thread per chip, i.e. vs_baseline >= 10.
+
+End-to-end = TS-free elementary stream bytes in host memory -> threaded
+C++ VLC parse -> device dequant/IDCT/MC scan -> decoded planes resident on
+device (sinks fetch from there; bench blocks on the device arrays).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
 
 W, H = 1280, 720
-N_FRAMES = int(os.environ.get('BENCH_FRAMES', '24'))
+N_FRAMES = int(os.environ.get('BENCH_FRAMES', '48'))
 GOP = 12
 
 
@@ -37,60 +40,73 @@ def build_stream():
     return es
 
 
-def parse_stream(es):
+def main():
+    import jax
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+
+    es = build_stream()
+
+    def run_e2e():
+        dec = MPEG1Decoder()
+        dec.write(0.0, es)
+        outs = dec.decode_available(eof=True)
+        jax.block_until_ready(outs[-1].y)
+        return len(outs)
+
+    n = run_e2e()                       # compile warmup
+    reps = 3
+    t0 = time.monotonic()
+    for _ in range(reps):
+        n = run_e2e()
+    e2e_s = (time.monotonic() - t0) / reps
+    e2e_fps = n / e2e_s
+
+    # stage: host parse alone (threaded C++ batch)
     from jsmpeg_tpu.host import best_parser
     t0 = time.monotonic()
     parser = best_parser()
     parser.write(es)
-    frames = []
-    while True:
-        fd = parser.parse_frame(eof=True)
-        if fd is None:
-            break
-        frames.append(fd)
-    return parser.seq, frames, time.monotonic() - t0
+    parsed = 0
+    if hasattr(parser, 'parse_batch'):
+        while True:
+            b = parser.parse_batch(32, eof=True)
+            if not isinstance(b, dict):
+                break
+            parsed += b['n']
+            if b['n'] < 32:
+                break
+    parse_s = time.monotonic() - t0
+    parse_fps = parsed / parse_s if parse_s else 0.0
 
-
-def main():
-    import jax
-    from jsmpeg_tpu.models.mpeg1 import (decode_scan, frame_to_arrays,
-                                         stack_frames)
-    from jsmpeg_tpu.ops.frame import Planes
-
-    es = build_stream()
-    seq, frames, parse_s = parse_stream(es)
-    n = len(frames)
-    mb_h, mb_w = seq.mb_height, seq.mb_width
+    # stage: device pipeline alone (device-resident inputs)
+    import jax.numpy as jnp
+    from jsmpeg_tpu.models.mpeg1 import decode_scan_levels
+    from jsmpeg_tpu.ops.frame import LevelsArrays, Planes
+    dec = MPEG1Decoder()
+    dec.write(0.0, es)
+    batch = dec.parser.parse_batch(32, eof=True)
+    seq = dec.parser.seq
+    stacked = jax.device_put(LevelsArrays(
+        levels=batch['levels'], qscale=batch['qscale'],
+        coded=batch['coded'].astype(bool), intra=batch['intra'].astype(bool),
+        written=batch['written'].astype(bool),
+        mv_h=batch['mv'][..., 0], mv_v=batch['mv'][..., 1],
+        valid=np.ones(32, bool)))
     cw, ch = seq.coded_width, seq.coded_height
-
-    stacked = stack_frames([frame_to_arrays(f) for f in frames])
-    z = lambda hh, ww: np.zeros((hh, ww), dtype=np.uint8)
-    planes0 = (Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1)),
-               Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1)))
-
-    def run_device():
-        cur, fwd, outs = decode_scan(planes0[0], planes0[1], stacked,
-                                     mb_h=mb_h, mb_w=mb_w)
-        jax.block_until_ready(outs.y)
-        return outs
-
-    run_device()                      # compile
-    reps = 3
+    z = lambda hh, ww: jnp.zeros((hh, ww), dtype=jnp.uint8)
+    cur = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
+    fwd = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
+    iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
+    nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
+    r = decode_scan_levels(cur, fwd, stacked, iq, nq,
+                           mb_h=seq.mb_height, mb_w=seq.mb_width)
+    jax.block_until_ready(r[2].y)
     t0 = time.monotonic()
-    for _ in range(reps):
-        run_device()
-    device_s = (time.monotonic() - t0) / reps
-    device_fps = n / device_s
-
-    # end-to-end: parse + device decode of a fresh copy of the stream
-    t0 = time.monotonic()
-    seq2, frames2, _ = parse_stream(es)
-    stacked2 = stack_frames([frame_to_arrays(f) for f in frames2])
-    cur, fwd, outs = decode_scan(planes0[0], planes0[1], stacked2,
-                                 mb_h=mb_h, mb_w=mb_w)
-    jax.block_until_ready(outs.y)
-    e2e_s = time.monotonic() - t0
-    e2e_fps = n / e2e_s
+    for _ in range(5):
+        r = decode_scan_levels(cur, fwd, stacked, iq, nq,
+                               mb_h=seq.mb_height, mb_w=seq.mb_width)
+        jax.block_until_ready(r[2].y)
+    device_fps = 32 * 5 / (time.monotonic() - t0)
 
     # MP2 frames/s (exact host path)
     from jsmpeg_tpu.host.mp2_parse import MP2Parser
@@ -116,7 +132,7 @@ def main():
         'unit': 'fps',
         'vs_baseline': round(e2e_fps / 30.0, 3),
         'device_pipeline_fps': round(device_fps, 2),
-        'host_parse_fps': round(n / parse_s, 2),
+        'host_parse_fps': round(parse_fps, 2),
         'mp2_frames_per_s': round(mp2_fps, 1),
         'frames': n,
         'device': str(jax.devices()[0]),

@@ -31,6 +31,9 @@ def _load():
                                        ctypes.c_void_p]
     lib.mpeg1_parser_parse_frame.argtypes = [
         ctypes.c_void_p, ctypes.c_int] + [ctypes.c_void_p] * 6
+    lib.mpeg1_parser_parse_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + [ctypes.c_void_p] * 7
+    lib.mpeg1_parser_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.mpeg1_parser_bit_index.argtypes = [ctypes.c_void_p]
     lib.mpeg1_parser_bit_index.restype = ctypes.c_int64
     lib.mpeg1_parser_set_bit_index.argtypes = [ctypes.c_void_p,
@@ -93,6 +96,42 @@ class NativeMPEG1Parser:
     @property
     def bits(self):
         return _BitsProxy(self)
+
+    def set_threads(self, n: int) -> None:
+        self._lib.mpeg1_parser_set_threads(self._p, int(n))
+
+    def parse_batch(self, max_frames: int, eof: bool = False):
+        """Threaded batch parse (raw-levels contract).
+
+        Returns a dict of stacked arrays for up to max_frames pictures, or
+        None when nothing was parsed, or the string 'fallback' when the
+        batch cannot guarantee exactness (coefficient-scratch leak or a
+        malformed stream) and the caller must use parse_frame().
+        """
+        if self.seq is None:
+            return None
+        n_mb = self.seq.mb_size
+        F = max_frames
+        levels = np.zeros((F, n_mb, 6, 64), dtype=np.int16)
+        qscale = np.zeros((F, n_mb), dtype=np.uint8)
+        coded = np.zeros((F, n_mb, 6), dtype=np.uint8)
+        intra = np.zeros((F, n_mb), dtype=np.uint8)
+        written = np.zeros((F, n_mb), dtype=np.uint8)
+        mv = np.zeros((F, n_mb, 2), dtype=np.int32)
+        pic_types = np.zeros(F, dtype=np.uint8)
+        r = self._lib.mpeg1_parser_parse_batch(
+            self._p, 1 if eof else 0, F, _ptr(levels), _ptr(qscale),
+            _ptr(coded), _ptr(intra), _ptr(written), _ptr(mv),
+            _ptr(pic_types))
+        if r < 0:
+            return 'fallback'
+        if r == 0:
+            return None
+        self.frames_parsed += r
+        # full slabs (padding frames already zero); n marks the valid count
+        return dict(n=r, levels=levels, qscale=qscale, coded=coded,
+                    intra=intra, written=written, mv=mv,
+                    pic_types=pic_types)
 
     def parse_frame(self, eof: bool = False) -> Optional[FrameData]:
         if self.seq is None:

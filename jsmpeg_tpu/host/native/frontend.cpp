@@ -6,10 +6,23 @@
 // reproduced).  Exposed as a C ABI consumed via ctypes; output arrays are
 // caller-allocated numpy buffers (zero copy).
 //
+// Two parse modes:
+//  - serial frame-at-a-time, emitting PREMULTIPLIED DEQUANTIZED int32
+//    coefficients (the always-exact path, incl. cross-block leaks of the
+//    reference's partially-cleared coefficient scratch);
+//  - threaded batch parse over pictures, emitting RAW int16 levels +
+//    per-MB quantizer (device does dequant) -- pictures are
+//    parse-independent (every predictor resets per slice), so a picture
+//    per worker scales the host frontend across cores.  If the scratch-
+//    leak quirk would cross block/picture boundaries the batch aborts and
+//    the caller falls back to the serial path.
+//
 // Build: see build_native.py (g++ -O3 -shared -fPIC).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "vlc_tables.h"
@@ -29,40 +42,19 @@ constexpr int PIC_I = 1;
 constexpr int PIC_P = 2;
 constexpr int PIC_B = 3;
 
-struct BitReader {
-  std::vector<uint8_t> buf;
-  int64_t byte_length = 0;   // valid bytes (buf has >= 8 bytes zero padding)
-  int64_t index = 0;         // bit position
-
-  void append(const uint8_t* data, int64_t len) {
-    if (byte_length + len + 8 > (int64_t)buf.size())
-      buf.resize((byte_length + len + 8) * 2, 0);
-    std::memcpy(buf.data() + byte_length, data, len);
-    byte_length += len;
-    std::memset(buf.data() + byte_length, 0, 8);
-  }
-
-  int64_t evict_consumed() {
-    int64_t pos = index >> 3;
-    if (pos <= 0) return 0;
-    std::memmove(buf.data(), buf.data() + pos, byte_length - pos + 8);
-    byte_length -= pos;
-    index -= pos << 3;
-    return pos;
-  }
+// Non-owning bit reader over a byte range (caller guarantees >= 8 bytes of
+// readable padding past `len` -- the owning buffer provides it).
+struct BitView {
+  const uint8_t* data = nullptr;
+  int64_t len = 0;       // valid bytes
+  int64_t index = 0;     // bit position
 
   inline uint32_t peek(int count) const {
-    // MSB-first read of up to 25 bits (enough for every VLC + header field
-    // read below uses read32 for larger counts)
-    int64_t start = index >> 3;
-    uint64_t w = 0;
-    // 8-byte zero padding makes this load safe at the buffer tail
-    const uint8_t* p = buf.data() + start;
-    w = ((uint64_t)p[0] << 56) | ((uint64_t)p[1] << 48) |
-        ((uint64_t)p[2] << 40) | ((uint64_t)p[3] << 32) |
-        ((uint64_t)p[4] << 24);
-    int off = index & 7;
-    return (uint32_t)((w << off) >> (64 - count));
+    const uint8_t* p = data + (index >> 3);
+    uint64_t w = ((uint64_t)p[0] << 56) | ((uint64_t)p[1] << 48) |
+                 ((uint64_t)p[2] << 40) | ((uint64_t)p[3] << 32) |
+                 ((uint64_t)p[4] << 24);
+    return (uint32_t)((w << (index & 7)) >> (64 - count));
   }
 
   inline uint32_t read(int count) {
@@ -71,29 +63,21 @@ struct BitReader {
     return v;
   }
 
-  inline uint32_t read32(int count) {  // up to 32 bits
-    if (count <= 25) return read(count);
-    uint32_t hi = read(count - 16);
-    uint32_t lo = read(16);
-    return (hi << 16) | lo;
-  }
-
   inline void skip(int64_t count) { index += count; }
   inline void rewind(int64_t count) { index = index >= count ? index - count : 0; }
-  bool has(int64_t count) const { return (byte_length << 3) - index >= count; }
+  bool has(int64_t count) const { return (len << 3) - index >= count; }
 
   int find_next_start_code() {
     int64_t i = (index + 7) >> 3;
-    const uint8_t* b = buf.data();
-    while (i + 3 < byte_length + 3) {  // padding makes overread safe
-      if (i >= byte_length) break;
+    const uint8_t* b = data;
+    while (i < len) {
       if (b[i] == 0 && b[i + 1] == 0 && b[i + 2] == 1) {
         index = (i + 4) << 3;
-        return (i + 3 < byte_length) ? b[i + 3] : 0;
+        return (i + 3 < len) ? b[i + 3] : 0;
       }
       i++;
     }
-    index = byte_length << 3;
+    index = len << 3;
     return -1;
   }
 
@@ -106,43 +90,48 @@ struct BitReader {
 
   bool next_bytes_are_start_code() const {
     int64_t i = (index + 7) >> 3;
-    if (i >= byte_length) return true;
-    const uint8_t* b = buf.data();
-    return b[i] == 0 && b[i + 1] == 0 && b[i + 2] == 1;
+    if (i >= len) return true;
+    return data[i] == 0 && data[i + 1] == 0 && data[i + 2] == 1;
   }
 };
 
-inline int32_t vlc(BitReader& bits, const uint32_t* lut, int maxbits) {
-  uint32_t idx = bits.peek(maxbits);
-  uint32_t enc = lut[idx];
+inline int32_t vlc(BitView& bits, const uint32_t* lut, int maxbits) {
+  uint32_t enc = lut[bits.peek(maxbits)];
   int n = enc >> 24;
-  if (n == 0) return INT32_MIN;  // invalid code
+  if (n == 0) return INT32_MIN;
   bits.skip(n);
   return (int32_t)(enc & 0xFFFFFF) - 0x800000;
 }
 
-struct FrameOut {
-  int32_t* coef;      // [n_mb, 6, 64]
-  uint8_t* coded;     // [n_mb, 6]
-  uint8_t* intra;     // [n_mb]
-  uint8_t* written;   // [n_mb]
-  int32_t* mv;        // [n_mb, 2]
-};
-
-struct Parser {
-  BitReader bits;
-  bool has_seq = false;
-  // sequence info
+struct SeqInfo {
   int width = 0, height = 0, mb_w = 0, mb_h = 0, mb_size = 0;
   int frame_rate_code = 0;
   int32_t intra_q[64], non_intra_q[64];
-  // persistent scratch (quirk-exact)
-  int32_t block_data[64] = {0};
-  int64_t quirk_leaks = 0;
-  int64_t frames_parsed = 0;
-  bool error = false;
+};
 
-  // picture state
+// Output slabs for one picture.
+struct FrameOut {
+  int32_t* coef = nullptr;    // [n_mb, 6, 64]   (serial/exact mode)
+  int16_t* levels = nullptr;  // [n_mb, 6, 64]   (batch/levels mode)
+  uint8_t* qscale = nullptr;  // [n_mb]          (batch mode)
+  uint8_t* coded = nullptr;   // [n_mb, 6]
+  uint8_t* intra = nullptr;   // [n_mb]
+  uint8_t* written = nullptr; // [n_mb]
+  int32_t* mv = nullptr;      // [n_mb, 2]
+};
+
+// Parses pictures; owns the per-slice/MB state and the persistent
+// coefficient scratch (quirk emulation).
+struct PictureParser {
+  const SeqInfo* seq;
+  BitView bits;
+  int32_t block_data[64] = {0};
+  int16_t raw_levels[64] = {0};
+  bool bd_dirty = false;      // scratch holds stale non-DC values
+  bool leaky = false;         // a stale value reached an emitted block
+  bool error = false;
+  int64_t quirk_leaks = 0;
+
   int pic_type = 0;
   bool full_pel = false;
   int fw_f = 0, fw_r_size = 0;
@@ -151,76 +140,11 @@ struct Parser {
   int64_t mb_address = 0;
   int motion_h = 0, motion_v = 0, motion_h_prev = 0, motion_v_prev = 0;
   int32_t dc_y = 0, dc_cr = 0, dc_cb = 0;
-  FrameOut out = {};
+  FrameOut out;
 
-  void try_sequence_header() {
-    int64_t saved = bits.index;
-    if (bits.find_start_code(START_SEQUENCE) == -1) {
-      bits.index = saved;
-      return;
-    }
-    decode_sequence_header();
-  }
-
-  void decode_sequence_header() {
-    width = bits.read(12);
-    height = bits.read(12);
-    bits.skip(4);
-    frame_rate_code = bits.read(4);
-    bits.skip(18 + 1 + 10 + 1);
-    std::memcpy(intra_q, DEFAULT_INTRA_Q, sizeof(intra_q));
-    std::memcpy(non_intra_q, DEFAULT_NON_INTRA_Q, sizeof(non_intra_q));
-    if (bits.read(1)) {
-      for (int i = 0; i < 64; i++) intra_q[ZIG_ZAG[i]] = bits.read(8);
-    }
-    if (bits.read(1)) {
-      for (int i = 0; i < 64; i++) non_intra_q[ZIG_ZAG[i]] = bits.read(8);
-    }
-    mb_w = (width + 15) >> 4;
-    mb_h = (height + 15) >> 4;
-    mb_size = mb_w * mb_h;
-    has_seq = true;
-  }
-
-  bool picture_complete() const {
-    int64_t i = (bits.index + 7) >> 3;
-    const uint8_t* b = bits.buf.data();
-    bool seen_picture = false;
-    for (; i + 3 < bits.byte_length; i++) {
-      if (b[i] == 0 && b[i + 1] == 0 && b[i + 2] == 1) {
-        int c = b[i + 3];
-        if (!seen_picture) {
-          if (c == START_PICTURE) seen_picture = true;
-        } else if (c == START_PICTURE || c == START_SEQUENCE ||
-                   c == START_GROUP || c == START_SEQUENCE_END) {
-          return true;
-        }
-        i += 3;
-      }
-    }
-    return false;
-  }
-
-  // returns 1 = frame produced, 0 = none available
-  int parse_frame(bool eof, const FrameOut& dst) {
-    if (!has_seq) return 0;
-    out = dst;
-    while (true) {
-      if (!eof && !picture_complete()) return 0;
-      int64_t saved = bits.index;
-      if (bits.find_start_code(START_PICTURE) == -1) {
-        bits.index = saved;
-        return 0;
-      }
-      if (decode_picture()) {
-        frames_parsed++;
-        return 1;
-      }
-      if (eof && !bits.has(32)) return 0;
-    }
-  }
-
+  // assumes bits positioned right AFTER the 00 00 01 00 picture start code
   bool decode_picture() {
+    leaky = bd_dirty;   // stale data entering this picture
     bits.skip(10);
     pic_type = bits.read(3);
     bits.skip(16);
@@ -233,11 +157,14 @@ struct Parser {
       fw_f = 1 << fw_r_size;
     }
 
-    std::memset(out.coef, 0, (size_t)mb_size * 6 * 64 * 4);
-    std::memset(out.coded, 0, (size_t)mb_size * 6);
-    std::memset(out.intra, 0, (size_t)mb_size);
-    std::memset(out.written, 0, (size_t)mb_size);
-    std::memset(out.mv, 0, (size_t)mb_size * 2 * 4);
+    int n_mb = seq->mb_size;
+    if (out.coef) std::memset(out.coef, 0, (size_t)n_mb * 6 * 64 * 4);
+    if (out.levels) std::memset(out.levels, 0, (size_t)n_mb * 6 * 64 * 2);
+    if (out.qscale) std::memset(out.qscale, 0, (size_t)n_mb);
+    std::memset(out.coded, 0, (size_t)n_mb * 6);
+    std::memset(out.intra, 0, (size_t)n_mb);
+    std::memset(out.written, 0, (size_t)n_mb);
+    std::memset(out.mv, 0, (size_t)n_mb * 2 * 4);
 
     int code = bits.find_next_start_code();
     while (code == START_EXTENSION || code == START_USER_DATA)
@@ -252,7 +179,7 @@ struct Parser {
 
   void decode_slice(int slice) {
     slice_begin = true;
-    mb_address = (int64_t)(slice - 1) * mb_w - 1;
+    mb_address = (int64_t)(slice - 1) * seq->mb_w - 1;
     motion_h = motion_h_prev = 0;
     motion_v = motion_v_prev = 0;
     dc_y = dc_cr = dc_cb = 128;
@@ -279,7 +206,7 @@ struct Parser {
       slice_begin = false;
       mb_address += increment;
     } else {
-      if (mb_address + increment >= mb_size) return;
+      if (mb_address + increment >= seq->mb_size) return;
       if (increment > 1) {
         dc_y = dc_cr = dc_cb = 128;
         if (pic_type == PIC_P) {
@@ -289,7 +216,7 @@ struct Parser {
       }
       while (increment > 1) {
         mb_address++;
-        if (mb_address >= 0 && mb_address < mb_size) {
+        if (mb_address >= 0 && mb_address < seq->mb_size) {
           out.written[mb_address] = 1;
           out.mv[mb_address * 2] = motion_h;
           out.mv[mb_address * 2 + 1] = motion_v;
@@ -299,7 +226,7 @@ struct Parser {
       mb_address++;
     }
     int64_t addr = mb_address;
-    bool in_range = addr >= 0 && addr < mb_size;
+    bool in_range = addr >= 0 && addr < seq->mb_size;
 
     const uint32_t* type_lut;
     int type_bits;
@@ -326,6 +253,7 @@ struct Parser {
         out.mv[addr * 2 + 1] = motion_v;
       }
     }
+    if (in_range && out.qscale) out.qscale[addr] = (uint8_t)qscale;
 
     int cbp;
     if (mb_type & 0x02) {
@@ -373,6 +301,7 @@ struct Parser {
   void decode_block(int block, bool intra, int64_t addr) {
     int n = 0;
     const int32_t* quant;
+    int first_pos = -1;   // position of the first (possibly only) coeff
 
     if (intra) {
       int32_t predictor, dct_size;
@@ -396,11 +325,14 @@ struct Parser {
       if (block < 4) dc_y = block_data[0];
       else if (block == 4) dc_cr = block_data[0];
       else dc_cb = block_data[0];
+      raw_levels[0] = (int16_t)block_data[0];
+      if (block_data[0] != (int32_t)raw_levels[0]) leaky = true;  // overflow
       block_data[0] = (int32_t)((uint32_t)block_data[0] << 8);
-      quant = intra_q;
+      quant = seq->intra_q;
       n = 1;
+      first_pos = 0;
     } else {
-      quant = non_intra_q;
+      quant = seq->non_intra_q;
     }
 
     while (true) {
@@ -414,15 +346,20 @@ struct Parser {
         if (level == 0) level = bits.read(8);
         else if (level == 128) level = (int32_t)bits.read(8) - 256;
         else if (level > 128) level -= 256;
+        if (level == 0) leaky = true;  // escape-coded zero: device dequant
+                                       // cannot reproduce oddify(0)=+1
       } else {
         run = packed >> 8;
         level = packed & 0xFF;
         if (bits.read(1)) level = -level;
       }
+      bool first_coeff = (n == (intra ? 1 : 0));
       n += run;
       if (n > 63) { error = true; return; }
       int dez = ZIG_ZAG[n];
+      if (first_coeff) first_pos = dez;
       n++;
+      raw_levels[dez] = (int16_t)level;
       level <<= 1;
       if (!intra) level += level < 0 ? -1 : 1;
       level = (int32_t)((int64_t)level * qscale * quant[dez]) >> 4;
@@ -434,18 +371,263 @@ struct Parser {
 
     if (addr >= 0) out.coded[addr * 6 + block] = 1;
     if (n == 1) {
-      // DC-only fast path: emit a pure-DC block; stale non-DC entries stay
-      // in block_data (the reference's partial clear)
-      if (addr >= 0) out.coef[(addr * 6 + block) * 64] = block_data[0];
-      for (int i = 1; i < 64; i++) {
-        if (block_data[i]) { quirk_leaks++; break; }
+      // DC-only fast path.  The emitted block is a pure-DC block (IDCT-
+      // identical to the reference's fill); any just-written run>0
+      // coefficient stays stale in block_data (the quirk).
+      if (addr >= 0) {
+        if (out.coef) out.coef[(addr * 6 + block) * 64] = block_data[0];
+        if (out.levels && first_pos == 0)
+          out.levels[(addr * 6 + block) * 64] = raw_levels[0];
+        // first_pos != 0 (leak case): reference adds (0+128)>>8 == 0, so
+        // an all-zero levels block is exact for THIS block.
+      }
+      if (first_pos != 0) {
+        quirk_leaks++;
+        bd_dirty = true;
+        leaky = true;
       }
       block_data[0] = 0;
+      raw_levels[0] = 0;
+      if (first_pos > 0) raw_levels[first_pos] = 0;
     } else {
-      if (addr >= 0)
-        std::memcpy(out.coef + (addr * 6 + block) * 64, block_data, 64 * 4);
+      if (bd_dirty) leaky = true;   // stale values flow into this block
+      bd_dirty = false;
+      if (addr >= 0) {
+        if (out.coef)
+          std::memcpy(out.coef + (addr * 6 + block) * 64, block_data, 64 * 4);
+        if (out.levels)
+          std::memcpy(out.levels + (addr * 6 + block) * 64, raw_levels,
+                      64 * 2);
+      }
       std::memset(block_data, 0, sizeof(block_data));
+      std::memset(raw_levels, 0, sizeof(raw_levels));
     }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Owning parser: buffer management, sequence header, picture discovery.
+// ---------------------------------------------------------------------------
+
+struct Parser {
+  std::vector<uint8_t> buf;
+  int64_t byte_length = 0;
+  int64_t bit_index = 0;
+  SeqInfo seq;
+  bool has_seq = false;
+  PictureParser serial;     // persistent state for the serial path
+  int64_t frames_parsed = 0;
+  int n_threads;
+
+  Parser() {
+    buf.resize(1 << 16, 0);
+    serial.seq = &seq;
+    unsigned hc = std::thread::hardware_concurrency();
+    n_threads = hc ? (hc > 16 ? 16 : hc) : 4;
+  }
+
+  void append(const uint8_t* data, int64_t len) {
+    if (byte_length + len + 8 > (int64_t)buf.size())
+      buf.resize((byte_length + len + 8) * 2, 0);
+    std::memcpy(buf.data() + byte_length, data, len);
+    byte_length += len;
+    std::memset(buf.data() + byte_length, 0, 8);
+    if (!has_seq) try_sequence_header();
+  }
+
+  BitView view() const {
+    return BitView{buf.data(), byte_length, bit_index};
+  }
+
+  void try_sequence_header() {
+    BitView b = view();
+    if (b.find_start_code(START_SEQUENCE) == -1) return;
+    decode_sequence_header(b);
+    bit_index = b.index;
+  }
+
+  void decode_sequence_header(BitView& b) {
+    seq.width = b.read(12);
+    seq.height = b.read(12);
+    b.skip(4);
+    seq.frame_rate_code = b.read(4);
+    b.skip(18 + 1 + 10 + 1);
+    std::memcpy(seq.intra_q, DEFAULT_INTRA_Q, sizeof(seq.intra_q));
+    std::memcpy(seq.non_intra_q, DEFAULT_NON_INTRA_Q, sizeof(seq.non_intra_q));
+    if (b.read(1))
+      for (int i = 0; i < 64; i++) seq.intra_q[ZIG_ZAG[i]] = b.read(8);
+    if (b.read(1))
+      for (int i = 0; i < 64; i++) seq.non_intra_q[ZIG_ZAG[i]] = b.read(8);
+    seq.mb_w = (seq.width + 15) >> 4;
+    seq.mb_h = (seq.height + 15) >> 4;
+    seq.mb_size = seq.mb_w * seq.mb_h;
+    has_seq = true;
+  }
+
+  bool picture_complete() const {
+    int64_t i = (bit_index + 7) >> 3;
+    const uint8_t* b = buf.data();
+    bool seen_picture = false;
+    for (; i + 3 < byte_length; i++) {
+      if (b[i] == 0 && b[i + 1] == 0 && b[i + 2] == 1) {
+        int c = b[i + 3];
+        if (!seen_picture) {
+          if (c == START_PICTURE) seen_picture = true;
+        } else if (c == START_PICTURE || c == START_SEQUENCE ||
+                   c == START_GROUP || c == START_SEQUENCE_END) {
+          return true;
+        }
+        i += 3;
+      }
+    }
+    return false;
+  }
+
+  // serial exact path (premultiplied coef contract)
+  int parse_frame(bool eof, const FrameOut& dst) {
+    if (!has_seq) return 0;
+    serial.out = dst;
+    while (true) {
+      if (!eof && !picture_complete()) return 0;
+      BitView b = view();
+      if (b.find_start_code(START_PICTURE) == -1) return 0;
+      serial.bits = b;
+      serial.error = false;
+      bool produced = serial.decode_picture();
+      bit_index = serial.bits.index;
+      if (produced) {
+        frames_parsed++;
+        return 1;
+      }
+      if (eof && ((byte_length << 3) - bit_index) < 32) return 0;
+    }
+  }
+
+  // ------------------------------------------------------------- batch
+
+  struct PicSpan {
+    int64_t bit_pos;    // right after the picture start code
+    int64_t end_byte;   // exclusive byte bound of the picture data
+    int pic_type;
+    bool emit;
+  };
+
+  // discover up to max_frames emitted pictures; returns consumed bit pos
+  int64_t discover(bool eof, int max_frames, std::vector<PicSpan>& spans) {
+    const uint8_t* b = buf.data();
+    int64_t i = (bit_index + 7) >> 3;
+    int64_t consumed = bit_index;
+    int emitted = 0;
+    int64_t pending = -1;   // byte pos of a picture start code being scanned
+    PicSpan cur{};
+    while (i + 3 < byte_length) {
+      if (!(b[i] == 0 && b[i + 1] == 0 && b[i + 2] == 1)) { i++; continue; }
+      int c = b[i + 3];
+      bool boundary = (c == START_PICTURE || c == START_SEQUENCE ||
+                       c == START_GROUP || c == START_SEQUENCE_END);
+      if (pending >= 0 && boundary) {
+        cur.end_byte = i;
+        spans.push_back(cur);
+        consumed = i << 3;
+        if (cur.emit) {
+          emitted++;
+          if (emitted >= max_frames) { pending = -1; break; }
+        }
+        pending = -1;
+      }
+      if (c == START_PICTURE) {
+        pending = i;
+        cur = PicSpan{};
+        cur.bit_pos = (i + 4) << 3;
+        // classify: 10 bits temporal ref, 3 bits type
+        BitView pv{buf.data(), byte_length, cur.bit_pos + 10};
+        cur.pic_type = pv.read(3);
+        cur.emit = cur.pic_type == PIC_I || cur.pic_type == PIC_P;
+        if (cur.pic_type == PIC_P) {
+          pv.skip(16 + 1);              // vbv_delay + full_pel
+          if (pv.read(3) == 0) cur.emit = false;   // zero f_code
+        }
+      }
+      i += 4;
+    }
+    if (pending >= 0 && eof) {
+      cur.end_byte = byte_length;
+      spans.push_back(cur);
+      consumed = byte_length << 3;
+    }
+    return consumed;
+  }
+
+  // returns number of frames parsed; -1 => quirk leak, use serial path
+  int parse_batch(bool eof, int max_frames, int64_t n_mb_stride,
+                  int16_t* levels, uint8_t* qscale, uint8_t* coded,
+                  uint8_t* intra, uint8_t* written, int32_t* mv,
+                  uint8_t* pic_types) {
+    if (!has_seq) return 0;
+    // the serial scratch must be clean, else its state can't transfer
+    if (serial.bd_dirty) return -1;
+    std::vector<PicSpan> spans;
+    int64_t consumed = discover(eof, max_frames, spans);
+    if (spans.empty()) return 0;
+
+    std::vector<const PicSpan*> emit;
+    for (auto& s : spans)
+      if (s.emit) emit.push_back(&s);
+    int n = (int)emit.size();
+    if (n == 0) {
+      bit_index = consumed;
+      return 0;
+    }
+
+    int workers = n_threads < n ? n_threads : n;
+    std::atomic<int> next(0);
+    std::atomic<bool> any_leak(false);
+    std::atomic<bool> any_error(false);
+    int64_t n_mb = seq.mb_size;
+
+    auto work = [&]() {
+      PictureParser pp;
+      pp.seq = &seq;
+      while (true) {
+        int k = next.fetch_add(1);
+        if (k >= n) break;
+        const PicSpan* s = emit[k];
+        // fresh scratch per picture: valid unless the quirk leaks across
+        // pictures, which we detect and reject below
+        std::memset(pp.block_data, 0, sizeof(pp.block_data));
+        std::memset(pp.raw_levels, 0, sizeof(pp.raw_levels));
+        pp.bd_dirty = false;
+        pp.leaky = false;
+        pp.error = false;
+        pp.bits = BitView{buf.data(), s->end_byte, s->bit_pos};
+        pp.out = FrameOut{
+            nullptr,
+            levels + (int64_t)k * n_mb_stride * 6 * 64,
+            qscale + (int64_t)k * n_mb_stride,
+            coded + (int64_t)k * n_mb_stride * 6,
+            intra + (int64_t)k * n_mb_stride,
+            written + (int64_t)k * n_mb_stride,
+            mv + (int64_t)k * n_mb_stride * 2,
+        };
+        bool produced = pp.decode_picture();
+        pic_types[k] = (uint8_t)pp.pic_type;
+        if (!produced) pic_types[k] = 0;     // shouldn't happen (classified)
+        if (pp.leaky || pp.bd_dirty) any_leak.store(true);
+        if (pp.error) any_error.store(true);
+        (void)n_mb;
+      }
+    };
+
+    std::vector<std::thread> threads;
+    for (int w = 0; w < workers - 1; w++) threads.emplace_back(work);
+    work();
+    for (auto& t : threads) t.join();
+
+    if (any_leak.load()) return -1;   // caller re-runs via the serial path
+    if (any_error.load()) return -2;  // malformed stream: serial fallback
+    bit_index = consumed;
+    frames_parsed += n;
+    return n;
   }
 };
 
@@ -457,9 +639,7 @@ void* mpeg1_parser_create() { return new Parser(); }
 void mpeg1_parser_destroy(void* p) { delete (Parser*)p; }
 
 void mpeg1_parser_write(void* p, const uint8_t* data, int64_t len) {
-  Parser* ps = (Parser*)p;
-  ps->bits.append(data, len);
-  if (!ps->has_seq) ps->try_sequence_header();
+  ((Parser*)p)->append(data, len);
 }
 
 int mpeg1_parser_has_seq(void* p) { return ((Parser*)p)->has_seq ? 1 : 0; }
@@ -467,38 +647,65 @@ int mpeg1_parser_has_seq(void* p) { return ((Parser*)p)->has_seq ? 1 : 0; }
 // info: [width, height, mb_w, mb_h, frame_rate_code]
 void mpeg1_parser_seq_info(void* p, int32_t* info) {
   Parser* ps = (Parser*)p;
-  info[0] = ps->width;
-  info[1] = ps->height;
-  info[2] = ps->mb_w;
-  info[3] = ps->mb_h;
-  info[4] = ps->frame_rate_code;
+  info[0] = ps->seq.width;
+  info[1] = ps->seq.height;
+  info[2] = ps->seq.mb_w;
+  info[3] = ps->seq.mb_h;
+  info[4] = ps->seq.frame_rate_code;
 }
 
 void mpeg1_parser_quant(void* p, int32_t* intra_q, int32_t* non_intra_q) {
   Parser* ps = (Parser*)p;
-  std::memcpy(intra_q, ps->intra_q, sizeof(ps->intra_q));
-  std::memcpy(non_intra_q, ps->non_intra_q, sizeof(ps->non_intra_q));
+  std::memcpy(intra_q, ps->seq.intra_q, sizeof(ps->seq.intra_q));
+  std::memcpy(non_intra_q, ps->seq.non_intra_q, sizeof(ps->seq.non_intra_q));
 }
 
-// returns 1 frame produced, 0 none; info_out = [pic_type, quirk_leaks_lo]
 int mpeg1_parser_parse_frame(void* p, int eof, int32_t* coef, uint8_t* coded,
                              uint8_t* intra, uint8_t* written, int32_t* mv,
                              int64_t* info_out) {
   Parser* ps = (Parser*)p;
-  ps->error = false;
-  FrameOut out{coef, coded, intra, written, mv};
+  FrameOut out;
+  out.coef = coef;
+  out.coded = coded;
+  out.intra = intra;
+  out.written = written;
+  out.mv = mv;
   int r = ps->parse_frame(eof != 0, out);
-  info_out[0] = ps->pic_type;
-  info_out[1] = ps->quirk_leaks;
-  info_out[2] = ps->error ? 1 : 0;
+  info_out[0] = ps->serial.pic_type;
+  info_out[1] = ps->serial.quirk_leaks;
+  info_out[2] = ps->serial.error ? 1 : 0;
   return r;
 }
 
-int64_t mpeg1_parser_bit_index(void* p) { return ((Parser*)p)->bits.index; }
-void mpeg1_parser_set_bit_index(void* p, int64_t idx) {
-  ((Parser*)p)->bits.index = idx;
+int mpeg1_parser_parse_batch(void* p, int eof, int max_frames,
+                             int16_t* levels, uint8_t* qscale, uint8_t* coded,
+                             uint8_t* intra, uint8_t* written, int32_t* mv,
+                             uint8_t* pic_types) {
+  Parser* ps = (Parser*)p;
+  return ps->parse_batch(eof != 0, max_frames, ps->seq.mb_size, levels,
+                         qscale, coded, intra, written, mv, pic_types);
 }
-int64_t mpeg1_parser_evict(void* p) { return ((Parser*)p)->bits.evict_consumed(); }
+
+void mpeg1_parser_set_threads(void* p, int n) {
+  ((Parser*)p)->n_threads = n < 1 ? 1 : n;
+}
+
+int64_t mpeg1_parser_bit_index(void* p) { return ((Parser*)p)->bit_index; }
+void mpeg1_parser_set_bit_index(void* p, int64_t idx) {
+  ((Parser*)p)->bit_index = idx;
+}
+
+int64_t mpeg1_parser_evict(void* p) {
+  Parser* ps = (Parser*)p;
+  int64_t pos = ps->bit_index >> 3;
+  if (pos <= 0) return 0;
+  std::memmove(ps->buf.data(), ps->buf.data() + pos,
+               ps->byte_length - pos + 8);
+  ps->byte_length -= pos;
+  ps->bit_index -= pos << 3;
+  return pos;
+}
+
 int64_t mpeg1_parser_frames_parsed(void* p) {
   return ((Parser*)p)->frames_parsed;
 }

@@ -17,8 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..host.mpeg1_parse import FrameData, MPEG1Parser
-from ..ops.frame import FrameArrays, Planes, decode_frame_planes, \
-    decode_frame_step
+from ..ops.frame import FrameArrays, LevelsArrays, Planes, \
+    decode_frame_planes, decode_frame_step, levels_to_frame
 
 
 def frame_to_arrays(f: FrameData, valid: bool = True) -> FrameArrays:
@@ -62,6 +62,21 @@ def decode_scan(cur: Planes, fwd: Planes, stacked: FrameArrays,
                 mb_h: int, mb_w: int):
     """Decode a stack of frames with the reference planes as scan carry."""
     step = functools.partial(decode_frame_step, mb_h=mb_h, mb_w=mb_w)
+    (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
+    return cur, fwd, outs
+
+
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w'))
+def decode_scan_levels(cur: Planes, fwd: Planes, stacked: LevelsArrays,
+                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
+                       mb_h: int, mb_w: int):
+    """Raw-levels pipeline: dequant+premultiply fused into the per-frame
+    step (XLA fuses it with the IDCT), planes carried across the scan."""
+
+    def step(carry, la):
+        f = levels_to_frame(la, intra_q, non_intra_q)
+        return decode_frame_step(carry, f, mb_h=mb_h, mb_w=mb_w)
+
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
@@ -181,8 +196,11 @@ class MPEG1Decoder:
         if fd is None:
             return None
         seq = self.parser.seq
+        # explicit transfer: jit-argument conversion is much slower than a
+        # bulk device_put on some PJRT transports
+        arrays = jax.device_put(frame_to_arrays(fd))
         self._cur, self._fwd, out = decode_one(
-            self._cur, self._fwd, frame_to_arrays(fd),
+            self._cur, self._fwd, arrays,
             mb_h=seq.mb_height, mb_w=seq.mb_width)
         self.advance_decoded_time(1.0 / self.frame_rate)
         if self.streaming:
@@ -193,9 +211,62 @@ class MPEG1Decoder:
             self.on_decode(self, _time.monotonic() - t0)
         return out
 
+    # frames per batched device scan (padded; power-of-two buckets keep the
+    # number of compiled variants small)
+    BATCH_FRAMES = 32
+
     def decode_available(self, eof: bool = False, pad_to: int = 0):
-        """Parse every complete picture buffered and decode them in one
-        device scan.  Returns list of Planes (device arrays, stacked)."""
+        """Parse every complete picture buffered and decode them in one or
+        more device scans.  Returns list of Planes (device arrays)."""
+        outs = []
+        if hasattr(self.parser, 'parse_batch'):
+            outs, needs_serial = self._decode_available_batch(eof)
+            if needs_serial:
+                # quirk leak or malformed data: finish with the always-exact
+                # serial coefficient path
+                outs += self._decode_available_serial(eof, pad_to) or []
+        else:
+            outs = self._decode_available_serial(eof, pad_to) or []
+        if not outs:
+            return None
+        if self.destination is not None:
+            for p in outs:
+                self.destination.render(p.y, p.cr, p.cb)
+        return outs
+
+    def _decode_available_batch(self, eof: bool):
+        """Threaded C++ parse + raw-levels device pipeline.
+        Returns (planes_list, needs_serial_fallback)."""
+        seq = self.parser.seq
+        outs_all = []
+        while True:
+            batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
+            if batch == 'fallback':
+                return outs_all, True
+            if batch is None:
+                break
+            n = batch['n']
+            stacked = LevelsArrays(
+                levels=batch['levels'], qscale=batch['qscale'],
+                coded=batch['coded'].astype(bool),
+                intra=batch['intra'].astype(bool),
+                written=batch['written'].astype(bool),
+                mv_h=batch['mv'][..., 0], mv_v=batch['mv'][..., 1],
+                valid=(np.arange(self.BATCH_FRAMES) < n))
+            stacked = jax.device_put(stacked)
+            self._cur, self._fwd, outs = decode_scan_levels(
+                self._cur, self._fwd, stacked,
+                jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32),
+                jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32),
+                mb_h=seq.mb_height, mb_w=seq.mb_width)
+            for i in range(n):
+                self.advance_decoded_time(1.0 / self.frame_rate)
+                outs_all.append(Planes(outs.y[i], outs.cr[i], outs.cb[i]))
+            if n < self.BATCH_FRAMES:
+                break
+        return outs_all, False
+
+    def _decode_available_serial(self, eof: bool = False, pad_to: int = 0):
         frames = []
         while True:
             fd = self.parser.parse_frame(eof=eof)
@@ -209,12 +280,8 @@ class MPEG1Decoder:
         n = len(frames)
         if pad_to > n:
             frames += [empty_frame_arrays(seq.mb_size)] * (pad_to - n)
-        stacked = stack_frames(frames)
+        stacked = jax.device_put(stack_frames(frames))
         self._cur, self._fwd, outs = decode_scan(
             self._cur, self._fwd, stacked,
             mb_h=seq.mb_height, mb_w=seq.mb_width)
-        result = [Planes(outs.y[i], outs.cr[i], outs.cb[i]) for i in range(n)]
-        if self.destination is not None:
-            for p in result:
-                self.destination.render(p.y, p.cr, p.cb)
-        return result
+        return [Planes(outs.y[i], outs.cr[i], outs.cb[i]) for i in range(n)]

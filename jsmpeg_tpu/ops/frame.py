@@ -34,6 +34,31 @@ class Planes(NamedTuple):
     cb: jnp.ndarray        # uint8 [H/2, W/2]
 
 
+class LevelsArrays(NamedTuple):
+    """Compact per-frame inputs: raw VLC levels, dequantized on device
+    (4x smaller uploads than premultiplied int32 coefficients)."""
+    levels: jnp.ndarray    # int16 [n_mb, 6, 64] raw levels, raster positions
+    qscale: jnp.ndarray    # uint8 [n_mb]
+    coded: jnp.ndarray     # bool  [n_mb, 6]
+    intra: jnp.ndarray     # bool  [n_mb]
+    written: jnp.ndarray   # bool  [n_mb]
+    mv_h: jnp.ndarray      # int32 [n_mb]
+    mv_v: jnp.ndarray      # int32 [n_mb]
+    valid: jnp.ndarray     # bool  []
+
+
+def levels_to_frame(la: LevelsArrays, intra_q: jnp.ndarray,
+                    non_intra_q: jnp.ndarray) -> FrameArrays:
+    """Device-side dequantize+premultiply: LevelsArrays -> FrameArrays."""
+    from .idct import dequant_premult
+    coef = dequant_premult(la.levels.astype(jnp.int32),
+                           la.qscale.astype(jnp.int32), la.intra,
+                           intra_q, non_intra_q)
+    return FrameArrays(coef=coef, coded=la.coded, intra=la.intra,
+                       written=la.written, mv_h=la.mv_h, mv_v=la.mv_v,
+                       valid=la.valid)
+
+
 def assemble_luma(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
     """blocks [n_mb, 4, 8, 8] -> [16*mb_h, 16*mb_w]."""
     x = blocks.reshape(mb_h, mb_w, 2, 2, 8, 8)
