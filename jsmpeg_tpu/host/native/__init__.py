@@ -33,6 +33,9 @@ def _load():
         ctypes.c_void_p, ctypes.c_int] + [ctypes.c_void_p] * 6
     lib.mpeg1_parser_parse_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + [ctypes.c_void_p] * 7
+    lib.mpeg1_parser_parse_batch_sparse.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + \
+        [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
     lib.mpeg1_parser_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.mpeg1_parser_bit_index.argtypes = [ctypes.c_void_p]
     lib.mpeg1_parser_bit_index.restype = ctypes.c_int64
@@ -100,25 +103,57 @@ class NativeMPEG1Parser:
     def set_threads(self, n: int) -> None:
         self._lib.mpeg1_parser_set_threads(self._p, int(n))
 
-    def parse_batch(self, max_frames: int, eof: bool = False):
+    # average coefficients per block the sparse path reserves for;
+    # overflow falls back to the dense batch automatically
+    SPARSE_CAP_PER_BLOCK = 16
+
+    def parse_batch(self, max_frames: int, eof: bool = False,
+                    sparse: bool = True):
         """Threaded batch parse (raw-levels contract).
 
-        Returns a dict of stacked arrays for up to max_frames pictures, or
-        None when nothing was parsed, or the string 'fallback' when the
-        batch cannot guarantee exactness (coefficient-scratch leak or a
-        malformed stream) and the caller must use parse_frame().
+        Returns a dict of stacked arrays for up to max_frames pictures
+        (sparse=True adds 'sp_idx'/'sp_val' compacted coefficient pairs
+        instead of a dense 'levels' slab), or None when nothing was parsed,
+        or the string 'fallback' when the batch cannot guarantee exactness
+        (escape-zero level / scratch invariant / malformed stream) and the
+        caller must use parse_frame().
         """
         if self.seq is None:
             return None
         n_mb = self.seq.mb_size
         F = max_frames
-        levels = np.zeros((F, n_mb, 6, 64), dtype=np.int16)
         qscale = np.zeros((F, n_mb), dtype=np.uint8)
         coded = np.zeros((F, n_mb, 6), dtype=np.uint8)
         intra = np.zeros((F, n_mb), dtype=np.uint8)
         written = np.zeros((F, n_mb), dtype=np.uint8)
         mv = np.zeros((F, n_mb, 2), dtype=np.int32)
         pic_types = np.zeros(F, dtype=np.uint8)
+
+        if sparse:
+            saved_index = self._lib.mpeg1_parser_bit_index(self._p)
+            cap = n_mb * 6 * self.SPARSE_CAP_PER_BLOCK
+            sp_idx = np.empty(F * cap, dtype=np.int32)
+            sp_val = np.empty(F * cap, dtype=np.int16)
+            sp_counts = np.zeros(F + 1, dtype=np.int64)
+            r = self._lib.mpeg1_parser_parse_batch_sparse(
+                self._p, 1 if eof else 0, F, _ptr(qscale), _ptr(coded),
+                _ptr(intra), _ptr(written), _ptr(mv), _ptr(pic_types),
+                _ptr(sp_idx), _ptr(sp_val), cap, _ptr(sp_counts))
+            if r == -3:
+                # coefficient-dense stream: retry with the dense slab
+                self._lib.mpeg1_parser_set_bit_index(self._p, saved_index)
+                return self.parse_batch(max_frames, eof, sparse=False)
+            if r < 0:
+                return 'fallback'
+            if r == 0:
+                return None
+            self.frames_parsed += r
+            total = int(sp_counts[F])
+            return dict(n=r, sp_idx=sp_idx[:total], sp_val=sp_val[:total],
+                        qscale=qscale, coded=coded, intra=intra,
+                        written=written, mv=mv, pic_types=pic_types)
+
+        levels = np.zeros((F, n_mb, 6, 64), dtype=np.int16)
         r = self._lib.mpeg1_parser_parse_batch(
             self._p, 1 if eof else 0, F, _ptr(levels), _ptr(qscale),
             _ptr(coded), _ptr(intra), _ptr(written), _ptr(mv),

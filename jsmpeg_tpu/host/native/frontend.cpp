@@ -118,6 +118,14 @@ struct FrameOut {
   uint8_t* intra = nullptr;   // [n_mb]
   uint8_t* written = nullptr; // [n_mb]
   int32_t* mv = nullptr;      // [n_mb, 2]
+  // sparse coefficient mode: (global index, value) pairs; index base is
+  // added by the caller per picture
+  int32_t* sp_idx = nullptr;
+  int16_t* sp_val = nullptr;
+  int64_t sp_cap = 0;
+  int64_t sp_count = 0;       // filled by the parser
+  int64_t sp_base = 0;        // frame offset in the batch-global index
+  bool sp_overflow = false;
 };
 
 // Parses pictures; owns the per-slice/MB state and the persistent
@@ -370,14 +378,32 @@ struct PictureParser {
     }
 
     if (addr >= 0) out.coded[addr * 6 + block] = 1;
+
+    auto emit_sparse = [&](int upto) {
+      if (addr < 0 || !out.sp_idx) return;
+      int64_t base = out.sp_base + (addr * 6 + block) * 64;
+      for (int i = 0; i < upto; i++) {
+        int16_t v = raw_levels[i];
+        if (!v) continue;
+        if (out.sp_count >= out.sp_cap) { out.sp_overflow = true; return; }
+        out.sp_idx[out.sp_count] = (int32_t)(base + i);
+        out.sp_val[out.sp_count] = v;
+        out.sp_count++;
+      }
+    };
+
     if (n == 1) {
       // DC-only fast path.  The emitted block is a pure-DC block (IDCT-
       // identical to the reference's fill); any just-written run>0
-      // coefficient stays stale in block_data (the quirk).
+      // coefficient stays stale in block_data (the quirk -- proven
+      // unreachable: n==1 forces the coefficient to scan position 0).
       if (addr >= 0) {
         if (out.coef) out.coef[(addr * 6 + block) * 64] = block_data[0];
-        if (out.levels && first_pos == 0)
-          out.levels[(addr * 6 + block) * 64] = raw_levels[0];
+        if (first_pos == 0) {
+          if (out.levels)
+            out.levels[(addr * 6 + block) * 64] = raw_levels[0];
+          emit_sparse(1);
+        }
         // first_pos != 0 (leak case): reference adds (0+128)>>8 == 0, so
         // an all-zero levels block is exact for THIS block.
       }
@@ -398,6 +424,7 @@ struct PictureParser {
         if (out.levels)
           std::memcpy(out.levels + (addr * 6 + block) * 64, raw_levels,
                       64 * 2);
+        emit_sparse(64);
       }
       std::memset(block_data, 0, sizeof(block_data));
       std::memset(raw_levels, 0, sizeof(raw_levels));
@@ -558,11 +585,13 @@ struct Parser {
     return consumed;
   }
 
-  // returns number of frames parsed; -1 => quirk leak, use serial path
+  // returns number of frames parsed; -1 => exactness fallback (serial),
+  // -2 => malformed stream (serial), -3 => sparse overflow (dense batch)
   int parse_batch(bool eof, int max_frames, int64_t n_mb_stride,
                   int16_t* levels, uint8_t* qscale, uint8_t* coded,
                   uint8_t* intra, uint8_t* written, int32_t* mv,
-                  uint8_t* pic_types) {
+                  uint8_t* pic_types, int32_t* sp_idx, int16_t* sp_val,
+                  int64_t sp_cap_per_frame, int64_t* sp_counts) {
     if (!has_seq) return 0;
     // the serial scratch must be clean, else its state can't transfer
     if (serial.bd_dirty) return -1;
@@ -583,7 +612,8 @@ struct Parser {
     std::atomic<int> next(0);
     std::atomic<bool> any_leak(false);
     std::atomic<bool> any_error(false);
-    int64_t n_mb = seq.mb_size;
+    std::atomic<bool> any_overflow(false);
+    bool sparse = sp_idx != nullptr;
 
     auto work = [&]() {
       PictureParser pp;
@@ -600,21 +630,27 @@ struct Parser {
         pp.leaky = false;
         pp.error = false;
         pp.bits = BitView{buf.data(), s->end_byte, s->bit_pos};
-        pp.out = FrameOut{
-            nullptr,
-            levels + (int64_t)k * n_mb_stride * 6 * 64,
-            qscale + (int64_t)k * n_mb_stride,
-            coded + (int64_t)k * n_mb_stride * 6,
-            intra + (int64_t)k * n_mb_stride,
-            written + (int64_t)k * n_mb_stride,
-            mv + (int64_t)k * n_mb_stride * 2,
-        };
+        pp.out = FrameOut{};
+        pp.out.levels = sparse ? nullptr
+                               : levels + (int64_t)k * n_mb_stride * 6 * 64;
+        pp.out.qscale = qscale + (int64_t)k * n_mb_stride;
+        pp.out.coded = coded + (int64_t)k * n_mb_stride * 6;
+        pp.out.intra = intra + (int64_t)k * n_mb_stride;
+        pp.out.written = written + (int64_t)k * n_mb_stride;
+        pp.out.mv = mv + (int64_t)k * n_mb_stride * 2;
+        if (sparse) {
+          pp.out.sp_idx = sp_idx + (int64_t)k * sp_cap_per_frame;
+          pp.out.sp_val = sp_val + (int64_t)k * sp_cap_per_frame;
+          pp.out.sp_cap = sp_cap_per_frame;
+          pp.out.sp_base = (int64_t)k * n_mb_stride * 6 * 64;
+        }
         bool produced = pp.decode_picture();
         pic_types[k] = (uint8_t)pp.pic_type;
         if (!produced) pic_types[k] = 0;     // shouldn't happen (classified)
+        if (sparse) sp_counts[k] = pp.out.sp_count;
         if (pp.leaky || pp.bd_dirty) any_leak.store(true);
         if (pp.error) any_error.store(true);
-        (void)n_mb;
+        if (pp.out.sp_overflow) any_overflow.store(true);
       }
     };
 
@@ -625,6 +661,21 @@ struct Parser {
 
     if (any_leak.load()) return -1;   // caller re-runs via the serial path
     if (any_error.load()) return -2;  // malformed stream: serial fallback
+    if (any_overflow.load()) return -3;  // caller re-runs via dense batch
+
+    if (sparse) {
+      // compact per-picture segments into a contiguous prefix
+      int64_t total = sp_counts[0];
+      for (int k = 1; k < n; k++) {
+        std::memmove(sp_idx + total, sp_idx + (int64_t)k * sp_cap_per_frame,
+                     sp_counts[k] * 4);
+        std::memmove(sp_val + total, sp_val + (int64_t)k * sp_cap_per_frame,
+                     sp_counts[k] * 2);
+        total += sp_counts[k];
+      }
+      sp_counts[max_frames] = total;   // caller-provided extra slot
+    }
+
     bit_index = consumed;
     frames_parsed += n;
     return n;
@@ -683,7 +734,21 @@ int mpeg1_parser_parse_batch(void* p, int eof, int max_frames,
                              uint8_t* pic_types) {
   Parser* ps = (Parser*)p;
   return ps->parse_batch(eof != 0, max_frames, ps->seq.mb_size, levels,
-                         qscale, coded, intra, written, mv, pic_types);
+                         qscale, coded, intra, written, mv, pic_types,
+                         nullptr, nullptr, 0, nullptr);
+}
+
+// sparse coefficient variant: sp_counts must have max_frames+1 slots (the
+// last receives the compacted total)
+int mpeg1_parser_parse_batch_sparse(
+    void* p, int eof, int max_frames, uint8_t* qscale, uint8_t* coded,
+    uint8_t* intra, uint8_t* written, int32_t* mv, uint8_t* pic_types,
+    int32_t* sp_idx, int16_t* sp_val, int64_t sp_cap_per_frame,
+    int64_t* sp_counts) {
+  Parser* ps = (Parser*)p;
+  return ps->parse_batch(eof != 0, max_frames, ps->seq.mb_size, nullptr,
+                         qscale, coded, intra, written, mv, pic_types,
+                         sp_idx, sp_val, sp_cap_per_frame, sp_counts);
 }
 
 void mpeg1_parser_set_threads(void* p, int n) {

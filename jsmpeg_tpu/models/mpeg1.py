@@ -81,6 +81,28 @@ def decode_scan_levels(cur: Planes, fwd: Planes, stacked: LevelsArrays,
     return cur, fwd, outs
 
 
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w'))
+def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
+                       sp_val: jnp.ndarray, rest: LevelsArrays,
+                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
+                       mb_h: int, mb_w: int):
+    """Sparse-coefficient pipeline: (index, value) pairs scatter into the
+    dense level lattice on device (bandwidth-bound hosts upload ~10x fewer
+    bytes), then the raw-levels scan runs unchanged.  Padding entries carry
+    out-of-range indices and are dropped by the scatter."""
+    f, n_mb = rest.qscale.shape
+    flat = jnp.zeros((f * n_mb * 6 * 64,), jnp.int16)
+    flat = flat.at[sp_idx].set(sp_val, mode='drop')
+    stacked = rest._replace(levels=flat.reshape(f, n_mb, 6, 64))
+
+    def step(carry, la):
+        fr = levels_to_frame(la, intra_q, non_intra_q)
+        return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w)
+
+    (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
+    return cur, fwd, outs
+
+
 class MPEG1Decoder:
     """Streaming-capable MPEG1 video decoder (TPU pipeline).
 
@@ -246,19 +268,37 @@ class MPEG1Decoder:
             if batch is None:
                 break
             n = batch['n']
-            stacked = LevelsArrays(
-                levels=batch['levels'], qscale=batch['qscale'],
+            iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
+            nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
+            common = dict(
+                qscale=batch['qscale'],
                 coded=batch['coded'].astype(bool),
                 intra=batch['intra'].astype(bool),
                 written=batch['written'].astype(bool),
-                mv_h=batch['mv'][..., 0], mv_v=batch['mv'][..., 1],
+                mv_h=np.ascontiguousarray(batch['mv'][..., 0]),
+                mv_v=np.ascontiguousarray(batch['mv'][..., 1]),
                 valid=(np.arange(self.BATCH_FRAMES) < n))
-            stacked = jax.device_put(stacked)
-            self._cur, self._fwd, outs = decode_scan_levels(
-                self._cur, self._fwd, stacked,
-                jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32),
-                jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32),
-                mb_h=seq.mb_height, mb_w=seq.mb_width)
+            if 'sp_idx' in batch:
+                # pad coefficient pairs to a power-of-two bucket (bounded
+                # jit variants); padding indices land out of range -> drop
+                total = len(batch['sp_idx'])
+                bucket = max(1 << max(total - 1, 1).bit_length(), 4096)
+                oob = self.BATCH_FRAMES * seq.mb_size * 6 * 64
+                sp_idx = np.full(bucket, oob, dtype=np.int32)
+                sp_val = np.zeros(bucket, dtype=np.int16)
+                sp_idx[:total] = batch['sp_idx']
+                sp_val[:total] = batch['sp_val']
+                rest = LevelsArrays(levels=np.zeros(0, np.int16), **common)
+                sp_idx, sp_val, rest = jax.device_put((sp_idx, sp_val, rest))
+                self._cur, self._fwd, outs = decode_scan_sparse(
+                    self._cur, self._fwd, sp_idx, sp_val, rest, iq, nq,
+                    mb_h=seq.mb_height, mb_w=seq.mb_width)
+            else:
+                stacked = LevelsArrays(levels=batch['levels'], **common)
+                stacked = jax.device_put(stacked)
+                self._cur, self._fwd, outs = decode_scan_levels(
+                    self._cur, self._fwd, stacked, iq, nq,
+                    mb_h=seq.mb_height, mb_w=seq.mb_width)
             for i in range(n):
                 self.advance_decoded_time(1.0 / self.frame_rate)
                 outs_all.append(Planes(outs.y[i], outs.cr[i], outs.cb[i]))

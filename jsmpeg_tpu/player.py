@@ -158,7 +158,7 @@ class Player:
     def tick(self, realtime: bool = False) -> bool:
         """One update: pull from the source, decode per policy.
         Returns False once playback has ended."""
-        if isinstance(self.source, TCPSource):
+        if hasattr(self.source, 'drain'):
             self.source.drain()
         if not self.source.established or self.paused:
             return not self._ended_fired
