@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..host.mpeg1_parse import FrameData
 from ..models.mpeg1 import empty_frame_arrays, frame_to_arrays, stack_frames
 from ..ops.frame import FrameArrays, Planes, decode_frame_step
-from .mesh import shard_map
+from .mesh import _pvary, shard_map
 
 
 def split_gops(frames: List[FrameData]) -> List[List[FrameData]]:
@@ -62,7 +62,7 @@ def decode_gops_sharded(stacked: FrameArrays, mb_h: int, mb_w: int,
         state = (Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1)),
                  Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1)))
         # the zero-initialized carry is device-varying along 'gop'
-        state = jax.lax.pvary(state, 'gop')
+        state = _pvary(state, 'gop')
         step = functools.partial(decode_frame_step, mb_h=mb_h, mb_w=mb_w)
         _, outs = jax.lax.scan(step, state, frames)
         return outs

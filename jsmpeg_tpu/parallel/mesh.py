@@ -31,3 +31,14 @@ def make_mesh(n_gop: Optional[int] = None, n_tile: int = 1,
     use = devices[:n_gop * n_tile]
     arr = np.array(use).reshape(n_gop, n_tile)
     return Mesh(arr, ('gop', 'tile'))
+
+
+def _pvary(x, axes):
+    """Mark a shard-local constant as device-varying (API moved between
+    jax versions)."""
+    if hasattr(jax.lax, 'pcast'):
+        try:
+            return jax.lax.pcast(x, axes, to='varying')
+        except TypeError:
+            return jax.lax.pcast(x, to='varying', axis_name=axes)
+    return jax.lax.pvary(x, axes)

@@ -1,0 +1,236 @@
+"""Tile-parallel frame decode: macroblock-row slabs sharded over the
+'tile' mesh axis, with halo exchange of reference-plane boundary rows for
+motion compensation.
+
+This is the codec's sequence/context-parallel analog (SURVEY.md section 2):
+P-frame motion compensation reads the previous reference frame up to
++/- (forward_f << 4) half-pels away, so neighboring tile shards exchange
+`halo` boundary rows via `ppermute` each frame -- structurally the ring /
+CP halo pattern -- while dequant/IDCT/assembly stay fully local.
+
+Composes with GOP data parallelism: a [G, F, rows, ...] batch shards G
+over 'gop' and rows over 'tile'.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..host.mpeg1_parse import FrameData
+from ..models.mpeg1 import empty_frame_arrays, frame_to_arrays
+from ..ops.frame import (FrameArrays, Planes, _combine, _mask_chroma,
+                         _mask_luma, _mb_mask_luma, assemble_chroma,
+                         assemble_luma)
+from ..ops.idct import idct_s32
+from ..ops.motion import chroma_mv
+from .gop import split_gops
+from .mesh import _pvary
+from .mesh import shard_map
+
+
+def halo_mb_rows(f_code: int) -> int:
+    """MB rows of halo needed for a given forward_f_code: max MV reach is
+    (1 << (f_code-1)) << 4 half-pels => `reach/2 (+1 for the half-pel tap)`
+    pixels."""
+    reach_px = ((1 << (f_code - 1)) << 4) // 2 + 1
+    return -(-reach_px // 16)
+
+
+def _exchange_halo(plane: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
+    """[rows, W] -> [halo + rows + halo, W] with neighbor boundary rows
+    (zeros at the frame edges; in-bounds MVs never read them)."""
+    n = jax.lax.axis_size(axis)
+    if n == 1:
+        zeros = jnp.zeros((halo,) + plane.shape[1:], plane.dtype)
+        return jnp.concatenate([zeros, plane, zeros], axis=0)
+    down = [(i, i + 1) for i in range(n - 1)]   # my rows -> next tile
+    up = [(i + 1, i) for i in range(n - 1)]     # my rows -> previous tile
+    top_halo = jax.lax.ppermute(plane[-halo:], axis, down)
+    bottom_halo = jax.lax.ppermute(plane[:halo], axis, up)
+    return jnp.concatenate([top_halo, plane, bottom_halo], axis=0)
+
+
+def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+              mb_h_local: int, mb_w: int, block: int, halo: int,
+              row0: jnp.ndarray, total_rows: int) -> jnp.ndarray:
+    """Motion compensation reading an extended (halo'd) reference slab.
+
+    ref: int-or-uint8 [halo + rows_local + halo, W]; mv in this plane's
+    half-pel units; row0 = first global row of the local slab;
+    total_rows = global plane height (for the frame-edge clamp)."""
+    H_local = mb_h_local * block
+    W = mb_w * block
+    grid_h = jnp.repeat(jnp.repeat(mv_h.reshape(mb_h_local, mb_w), block, 0),
+                        block, 1)
+    grid_v = jnp.repeat(jnp.repeat(mv_v.reshape(mb_h_local, mb_w), block, 0),
+                        block, 1)
+    iy = jnp.arange(H_local, dtype=jnp.int32)[:, None] + row0   # global rows
+    ix = jnp.arange(W, dtype=jnp.int32)[None, :]
+    sy = iy + jnp.right_shift(grid_v, 1)
+    sx = ix + jnp.right_shift(grid_h, 1)
+    oy = grid_v & 1
+    ox = grid_h & 1
+
+    flat = ref.reshape(-1).astype(jnp.int32)
+    ext_rows = ref.shape[0]
+
+    def g(yg, x):
+        yg = jnp.clip(yg, 0, total_rows - 1)          # frame-edge clamp
+        yl = jnp.clip(yg - row0 + halo, 0, ext_rows - 1)
+        x = jnp.clip(x, 0, W - 1)
+        return jnp.take(flat, yl * W + x, axis=0)
+
+    a = g(sy, sx)
+    b = g(sy, sx + ox)
+    c = g(sy + oy, sx)
+    d = g(sy + oy, sx + ox)
+    return jnp.right_shift(a + b + c + d + 2, 2)
+
+
+def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
+                              mb_h_local: int, mb_w: int, halo_mb: int,
+                              mb_h_total: int, axis: str = 'tile') -> Planes:
+    """Per-shard frame decode; `f` arrays hold this shard's MBs only."""
+    tile_idx = jax.lax.axis_index(axis)
+    row0_y = tile_idx.astype(jnp.int32) * (mb_h_local * 16)
+    row0_c = tile_idx.astype(jnp.int32) * (mb_h_local * 8)
+    halo_y = halo_mb * 16
+    halo_c = halo_mb * 8
+
+    resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))
+    ry = assemble_luma(resid[:, :4], mb_h_local, mb_w)
+    rcb = assemble_chroma(resid[:, 4], mb_h_local, mb_w)
+    rcr = assemble_chroma(resid[:, 5], mb_h_local, mb_w)
+
+    written_y = _mb_mask_luma(f.written, mb_h_local, mb_w)
+    written_c = _mask_chroma(f.written, mb_h_local, mb_w)
+    coded_y = _mask_luma(f.coded[:, :4], mb_h_local, mb_w)
+    coded_cb = _mask_chroma(f.coded[:, 4], mb_h_local, mb_w)
+    coded_cr = _mask_chroma(f.coded[:, 5], mb_h_local, mb_w)
+    intra_y = _mb_mask_luma(f.intra, mb_h_local, mb_w)
+    intra_c = _mask_chroma(f.intra, mb_h_local, mb_w)
+
+    ext_y = _exchange_halo(fwd.y, halo_y, axis)
+    ext_cr = _exchange_halo(fwd.cr, halo_c, axis)
+    ext_cb = _exchange_halo(fwd.cb, halo_c, axis)
+
+    pred_y = _mc_tiled(ext_y, f.mv_h, f.mv_v, mb_h_local, mb_w, 16,
+                       halo_y, row0_y, mb_h_total * 16)
+    cmh = chroma_mv(f.mv_h)
+    cmv = chroma_mv(f.mv_v)
+    pred_cr = _mc_tiled(ext_cr, cmh, cmv, mb_h_local, mb_w, 8,
+                        halo_c, row0_c, mb_h_total * 8)
+    pred_cb = _mc_tiled(ext_cb, cmh, cmv, mb_h_local, mb_w, 8,
+                        halo_c, row0_c, mb_h_total * 8)
+
+    base_y = jnp.where(written_y, pred_y, cur.y.astype(jnp.int32))
+    base_cr = jnp.where(written_c, pred_cr, cur.cr.astype(jnp.int32))
+    base_cb = jnp.where(written_c, pred_cb, cur.cb.astype(jnp.int32))
+
+    return Planes(
+        y=_combine(base_y, ry, coded_y, intra_y),
+        cr=_combine(base_cr, rcr, coded_cr, intra_c),
+        cb=_combine(base_cb, rcb, coded_cb, intra_c),
+    )
+
+
+def _tiled_step(carry, f: FrameArrays, mb_h_local: int, mb_w: int,
+                halo_mb: int, mb_h_total: int, axis: str):
+    cur, fwd = carry
+    out = decode_frame_planes_tiled(cur, fwd, f, mb_h_local, mb_w,
+                                    halo_mb, mb_h_total, axis)
+
+    def keep(old, new):
+        return jnp.where(f.valid, new, old)
+
+    out = Planes(*[keep(o, n) for o, n in zip(fwd, out)])
+    new_cur = Planes(*[keep(c, x) for c, x in zip(cur, fwd)])
+    return (new_cur, out), out
+
+
+def _pad_rows(stacked: FrameArrays, mb_h: int, mb_w: int,
+              mb_h_pad: int) -> FrameArrays:
+    """Reshape the MB axis to [.., mb_h, mb_w, ..] and zero-pad MB rows."""
+    def fix(x):
+        if x.ndim < 3 or x.shape[2] != mb_h * mb_w:
+            return x                      # 'valid' etc.
+        lead = x.shape[:2]
+        rest = x.shape[3:]
+        x = x.reshape(lead + (mb_h, mb_w) + rest)
+        pad = [(0, 0)] * x.ndim
+        pad[2] = (0, mb_h_pad - mb_h)
+        x = np.pad(x, pad)
+        return x.reshape(lead + (mb_h_pad * mb_w,) + rest)
+    return FrameArrays(*[fix(np.asarray(v)) for v in stacked])
+
+
+@functools.partial(jax.jit, static_argnames=('mb_h_pad', 'mb_w', 'halo_mb',
+                                             'mb_h_total', 'mesh'))
+def decode_gops_tiled(stacked: FrameArrays, mb_h_pad: int, mb_w: int,
+                      halo_mb: int, mb_h_total: int, mesh: Mesh):
+    """stacked: [G, F, mb_h_pad*mb_w, ...]; G sharded over 'gop', MB rows
+    over 'tile'.  Returns per-frame planes [G, F, rows, W] row-sharded."""
+    n_tile = mesh.shape['tile']
+    mb_h_local = mb_h_pad // n_tile
+    cw = mb_w * 16
+    rows_local = mb_h_local * 16
+
+    def local(frames: FrameArrays):
+        # frames: [g_local, F, local_mbs, ...]
+        def one_gop(fr):
+            z = lambda h, w: jnp.zeros((h, w), dtype=jnp.uint8)
+            state = (Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
+                            z(rows_local >> 1, cw >> 1)),
+                     Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
+                            z(rows_local >> 1, cw >> 1)))
+            state = _pvary(state, ('gop', 'tile'))
+            step = functools.partial(_tiled_step, mb_h_local=mb_h_local,
+                                     mb_w=mb_w, halo_mb=halo_mb,
+                                     mb_h_total=mb_h_total, axis='tile')
+            _, outs = jax.lax.scan(step, state, fr)
+            return outs
+
+        return jax.vmap(one_gop)(frames)
+
+    # MB arrays shard their row blocks over 'tile' (axis 2 of [G,F,mb,...])
+    spec_mb = P('gop', None, 'tile')
+    in_specs = FrameArrays(
+        coef=spec_mb, coded=spec_mb, intra=spec_mb, written=spec_mb,
+        mv_h=spec_mb, mv_v=spec_mb, valid=P('gop'))
+    out_specs = Planes(P('gop', None, 'tile'), P('gop', None, 'tile'),
+                       P('gop', None, 'tile'))
+    fn = shard_map(local, mesh=mesh, in_specs=(in_specs,),
+                   out_specs=out_specs)
+    return fn(stacked)
+
+
+def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
+                 f_code: int = 2) -> List[Planes]:
+    """Driver: split GOPs, pad, shard over ('gop','tile'), decode, return
+    per-frame full planes in input order."""
+    from .gop import stack_gops
+
+    gops = split_gops(frames)
+    n_gop = mesh.shape['gop']
+    n_tile = mesh.shape['tile']
+    g = max(1, -(-len(gops) // n_gop)) * n_gop
+    fmax = max(len(x) for x in gops)
+    stacked, _ = stack_gops(gops, g, fmax, mb_h * mb_w)
+    mb_h_pad = -(-mb_h // n_tile) * n_tile
+    stacked = _pad_rows(stacked, mb_h, mb_w, mb_h_pad)
+    halo = halo_mb_rows(f_code)
+    outs = decode_gops_tiled(stacked, mb_h_pad, mb_w, halo, mb_h_pad, mesh)
+    result = []
+    rows = mb_h * 16
+    for gi, gop in enumerate(gops):
+        for fi in range(len(gop)):
+            result.append(Planes(outs.y[gi, fi][:rows],
+                                 outs.cr[gi, fi][:rows >> 1],
+                                 outs.cb[gi, fi][:rows >> 1]))
+    return result
