@@ -43,6 +43,8 @@ def _load():
                                                ctypes.c_int64]
     lib.mpeg1_parser_evict.argtypes = [ctypes.c_void_p]
     lib.mpeg1_parser_evict.restype = ctypes.c_int64
+    lib.mpeg1_parser_byte_length.argtypes = [ctypes.c_void_p]
+    lib.mpeg1_parser_byte_length.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -205,3 +207,7 @@ class _BitsProxy:
 
     def evict_consumed(self) -> int:
         return self._parser._lib.mpeg1_parser_evict(self._parser._p)
+
+    @property
+    def byte_length(self) -> int:
+        return self._parser._lib.mpeg1_parser_byte_length(self._parser._p)

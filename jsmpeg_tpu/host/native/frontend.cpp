@@ -771,6 +771,10 @@ int64_t mpeg1_parser_evict(void* p) {
   return pos;
 }
 
+int64_t mpeg1_parser_byte_length(void* p) {
+  return ((Parser*)p)->byte_length;
+}
+
 int64_t mpeg1_parser_frames_parsed(void* p) {
   return ((Parser*)p)->frames_parsed;
 }

@@ -38,6 +38,7 @@ class MP2Decoder:
         self._v_pos = 0
         self.on_decode = options.get('onAudioDecode')
         self.streaming = bool(options.get('streaming'))
+        self.buffer_size = options.get('audioBufferSize', 128 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0
         self.timestamps: list = []
@@ -61,6 +62,12 @@ class MP2Decoder:
             data = bytes(b)
             self.bytes_written += len(data)
             self.parser.write(data)
+        if self.streaming:
+            bits = self.parser.bits
+            bits.evict_consumed()
+            if bits.byte_length - (bits.index >> 3) > self.buffer_size:
+                bits.index = bits.byte_length << 3
+                bits.evict_consumed()
         self.can_play = True
 
     @property

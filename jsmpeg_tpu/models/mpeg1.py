@@ -130,6 +130,7 @@ class MPEG1Decoder:
         # timestamp collection for static-file A/V sync + seek
         # (semantics of the reference Decoder.Base, src/decoder.js:36-102)
         self.streaming = bool(options.get('streaming'))
+        self.buffer_size = options.get('videoBufferSize', 512 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0
         self.timestamps: list = []      # (bit_index, pts)
@@ -155,9 +156,23 @@ class MPEG1Decoder:
             data = bytes(b)
             self.bytes_written += len(data)
             self.parser.write(data)
+        if self.streaming:
+            self._enforce_buffer_cap()
         self.can_play = True
         if self.parser.has_sequence_header and self._cur is None:
             self._init_planes()
+
+    def _enforce_buffer_cap(self) -> None:
+        # EVICT-mode memory bound (reference src/buffer.js:30-62): drop
+        # consumed bytes; if unread data still exceeds the cap, drop it all
+        # (the reference's emergency evac -- streaming prefers staying
+        # current over completeness)
+        bits = self.parser.bits
+        bits.evict_consumed()
+        unread = bits.byte_length - (bits.index >> 3)
+        if unread > self.buffer_size:
+            bits.index = bits.byte_length << 3
+            bits.evict_consumed()
 
     @property
     def current_time(self) -> float:

@@ -44,6 +44,11 @@ def make_source(target: Union[str, bytes, BaseSource],
             from .net.ws import WebSocketSource
             return WebSocketSource(target,
                                    reconnect_interval=cfg.reconnect_interval)
+        if target.startswith(('http://', 'https://')):
+            from .sources import HTTPSource
+            return HTTPSource(target, chunk_size=cfg.chunk_size,
+                              progressive=cfg.progressive,
+                              throttled=cfg.throttled)
         if cfg.progressive:
             return ProgressiveFileSource(target, chunk_size=cfg.chunk_size,
                                          throttled=cfg.throttled)
@@ -65,6 +70,8 @@ class Player:
         self.source.connect(self.demuxer)
 
         opts = {'streaming': self.streaming,
+                'videoBufferSize': cfg.video_buffer_size,
+                'audioBufferSize': cfg.audio_buffer_size,
                 'onVideoDecode': cfg.on_video_decode,
                 'onAudioDecode': cfg.on_audio_decode}
         self.video: Optional[MPEG1Decoder] = None
@@ -88,6 +95,8 @@ class Player:
         self._wants_to_play = False
         self._start_time = 0.0
         self._ended_fired = False
+        self._established_fired = False
+        self._completed_fired = False
 
         if cfg.autoplay:
             self.play()
@@ -160,7 +169,17 @@ class Player:
         Returns False once playback has ended."""
         if hasattr(self.source, 'drain'):
             self.source.drain()
+        if self.source.established and not self._established_fired:
+            self._established_fired = True
+            if self.cfg.on_source_established:
+                self.cfg.on_source_established(self.source)
+        if self.source.completed and not self._completed_fired:
+            self._completed_fired = True
+            if self.cfg.on_source_completed:
+                self.cfg.on_source_completed(self.source)
         if not self.source.established or self.paused:
+            if not self.source.established:
+                self.renderer.render_progress(self.source.progress)
             return not self._ended_fired
         if self.streaming:
             return self._tick_streaming()
@@ -242,7 +261,7 @@ class Player:
         """TPU-throughput mode for static sources: load everything, then
         batch all pictures / audio frames through the device pipelines."""
         self.play()
-        if isinstance(self.source, ProgressiveFileSource):
+        if hasattr(self.source, 'load_all'):
             self.source.load_all()
         self.demuxer.flush()
         n_video = n_audio = 0

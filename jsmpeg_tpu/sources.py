@@ -111,6 +111,71 @@ class ProgressiveFileSource(BaseSource):
             self.load_next_chunk()
 
 
+class HTTPSource(BaseSource):
+    """Plays a .ts over HTTP.  Whole-file or progressive Range requests
+    (the Ajax / AjaxProgressive roles, reference src/ajax*.js), with the
+    same headroom throttle and 3-retries-per-chunk policy."""
+
+    def __init__(self, url: str, chunk_size: int = 1024 * 1024,
+                 progressive: bool = True, throttled: bool = True):
+        super().__init__()
+        self.url = url
+        self.chunk_size = chunk_size
+        self.progressive = progressive
+        self.throttled = throttled
+        self.file_size = 0
+        self.loaded_size = 0
+
+    def start(self) -> None:
+        import urllib.request
+        if not self.progressive:
+            with urllib.request.urlopen(self.url) as r:
+                data = r.read()
+            self.established = True
+            self.completed = True
+            self.progress = 1.0
+            if self.destination is not None:
+                self.destination.write(data)
+            return
+        req = urllib.request.Request(self.url, method='HEAD')
+        with urllib.request.urlopen(req) as r:
+            self.file_size = int(r.headers.get('Content-Length', 0))
+        self.load_next_chunk()
+
+    def resume(self, seconds_headroom: float) -> None:
+        if self.throttled and seconds_headroom <= 2.0:
+            self.load_next_chunk()
+
+    def load_next_chunk(self) -> None:
+        if self.completed:
+            return
+        import urllib.request
+        start = self.loaded_size
+        end = min(start + self.chunk_size, self.file_size) - 1
+        req = urllib.request.Request(
+            self.url, headers={'Range': f'bytes={start}-{end}'})
+        for attempt in range(3):
+            try:
+                with urllib.request.urlopen(req) as r:
+                    chunk = r.read()
+                break
+            except OSError:
+                if attempt == 2:
+                    raise
+        self.loaded_size += len(chunk)
+        self.established = True
+        self.progress = self.loaded_size / max(self.file_size, 1)
+        if self.loaded_size >= self.file_size or not chunk:
+            self.completed = True
+            self.progress = 1.0
+        if chunk and self.destination is not None:
+            self.destination.write(chunk)
+
+    def load_all(self) -> None:
+        while not self.completed:
+            self.load_next_chunk()
+
+
 class PushSource(BaseSource):
     """External pushes (network callback, test harness, relay client)."""
     streaming = True
