@@ -84,7 +84,7 @@ def main():
     from jsmpeg_tpu.ops.frame import LevelsArrays, Planes
     dec = MPEG1Decoder()
     dec.write(0.0, es)
-    batch = dec.parser.parse_batch(32, eof=True, sparse=False)
+    batch = dec.parser.parse_batch(32, eof=True, sparse=False, packed=False)
     seq = dec.parser.seq
     stacked = jax.device_put(LevelsArrays(
         levels=batch['levels'], qscale=batch['qscale'],

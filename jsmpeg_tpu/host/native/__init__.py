@@ -36,6 +36,9 @@ def _load():
     lib.mpeg1_parser_parse_batch_sparse.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + \
         [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
+    lib.mpeg1_parser_parse_batch_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + \
+        [ctypes.c_void_p] * 6 + [ctypes.c_int64, ctypes.c_void_p]
     lib.mpeg1_parser_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.mpeg1_parser_bit_index.argtypes = [ctypes.c_void_p]
     lib.mpeg1_parser_bit_index.restype = ctypes.c_int64
@@ -110,20 +113,56 @@ class NativeMPEG1Parser:
     SPARSE_CAP_PER_BLOCK = 16
 
     def parse_batch(self, max_frames: int, eof: bool = False,
-                    sparse: bool = True):
+                    sparse: bool = True, packed: bool = True):
         """Threaded batch parse (raw-levels contract).
 
-        Returns a dict of stacked arrays for up to max_frames pictures
-        (sparse=True adds 'sp_idx'/'sp_val' compacted coefficient pairs
-        instead of a dense 'levels' slab), or None when nothing was parsed,
-        or the string 'fallback' when the batch cannot guarantee exactness
-        (escape-zero level / scratch invariant / malformed stream) and the
-        caller must use parse_frame().
+        Returns a dict of stacked arrays for up to max_frames pictures, or
+        None when nothing was parsed, or the string 'fallback' when the
+        batch cannot guarantee exactness (escape-zero level / scratch
+        invariant / malformed stream) and the caller must use parse_frame().
+
+        Wire formats, by upload cost per coefficient / per MB:
+          packed=True (default): 'flags'/'cbp'/'mv16' metadata (8 B/MB) +
+            'sp_pos'/'sp_val' pairs (3 B/coefficient, slot flags in the top
+            bits of sp_pos -- the device rebuilds global indices from cbp);
+          sparse=True: 'sp_idx'/'sp_val' global (index, value) pairs
+            (6 B/coefficient) + dense u8/int32 metadata;
+          else: dense int16 'levels' slab [F, n_mb, 6, 64].
+        Coefficient-dense batches overflow the packed/sparse caps and fall
+        back to the dense slab automatically.
         """
         if self.seq is None:
             return None
         n_mb = self.seq.mb_size
         F = max_frames
+        if packed:
+            saved_index = self._lib.mpeg1_parser_bit_index(self._p)
+            cap = n_mb * 6 * self.SPARSE_CAP_PER_BLOCK
+            flags = np.zeros((F, n_mb), dtype=np.uint8)
+            cbp = np.zeros((F, n_mb), dtype=np.uint8)
+            mv16 = np.zeros((F, n_mb, 2), dtype=np.int16)
+            pic_types = np.zeros(F, dtype=np.uint8)
+            sp_pos = np.empty(F * cap, dtype=np.uint8)
+            sp_val = np.empty(F * cap, dtype=np.int16)
+            sp_counts = np.zeros(F + 2, dtype=np.int64)
+            r = self._lib.mpeg1_parser_parse_batch_packed(
+                self._p, 1 if eof else 0, F, _ptr(flags), _ptr(cbp),
+                _ptr(mv16), _ptr(pic_types), _ptr(sp_pos), _ptr(sp_val),
+                cap, _ptr(sp_counts))
+            if r == -3:
+                self._lib.mpeg1_parser_set_bit_index(self._p, saved_index)
+                return self.parse_batch(max_frames, eof, sparse=False,
+                                        packed=False)
+            if r < 0:
+                return 'fallback'
+            if r == 0:
+                return None
+            self.frames_parsed += r
+            total = int(sp_counts[F])
+            return dict(n=r, flags=flags, cbp=cbp, mv16=mv16,
+                        sp_pos=sp_pos[:total], sp_val=sp_val[:total],
+                        n_blocks=int(sp_counts[F + 1]),
+                        pic_types=pic_types)
         qscale = np.zeros((F, n_mb), dtype=np.uint8)
         coded = np.zeros((F, n_mb, 6), dtype=np.uint8)
         intra = np.zeros((F, n_mb), dtype=np.uint8)

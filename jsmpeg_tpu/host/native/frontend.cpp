@@ -126,6 +126,11 @@ struct FrameOut {
   int64_t sp_count = 0;       // filled by the parser
   int64_t sp_base = 0;        // frame offset in the batch-global index
   bool sp_overflow = false;
+  // packed coefficient mode (3 bytes/coefficient on the wire): sp_pos
+  // replaces sp_idx; bit 7 = first pair of a coded block, bit 6 = slot-
+  // advancing marker for a coded block with no nonzero level (the device
+  // reconstructs global indices from the cbp bitmap + these flags)
+  uint8_t* sp_pos = nullptr;
 };
 
 // Parses pictures; owns the per-slice/MB state and the persistent
@@ -380,7 +385,30 @@ struct PictureParser {
     if (addr >= 0) out.coded[addr * 6 + block] = 1;
 
     auto emit_sparse = [&](int upto) {
-      if (addr < 0 || !out.sp_idx) return;
+      if (addr < 0) return;
+      if (out.sp_pos) {
+        // packed mode: every coded block advances the device-side slot
+        // counter exactly once (bit 7), even when it has no nonzero level
+        // (marker with bit 6: consumed as a slot advance, never scattered)
+        uint8_t first = 0x80;
+        for (int i = 0; i < upto; i++) {
+          int16_t v = raw_levels[i];
+          if (!v) continue;
+          if (out.sp_count >= out.sp_cap) { out.sp_overflow = true; return; }
+          out.sp_pos[out.sp_count] = (uint8_t)i | first;
+          out.sp_val[out.sp_count] = v;
+          out.sp_count++;
+          first = 0;
+        }
+        if (first) {
+          if (out.sp_count >= out.sp_cap) { out.sp_overflow = true; return; }
+          out.sp_pos[out.sp_count] = 0xC0;
+          out.sp_val[out.sp_count] = 0;
+          out.sp_count++;
+        }
+        return;
+      }
+      if (!out.sp_idx) return;
       int64_t base = out.sp_base + (addr * 6 + block) * 64;
       for (int i = 0; i < upto; i++) {
         int16_t v = raw_levels[i];
@@ -587,11 +615,19 @@ struct Parser {
 
   // returns number of frames parsed; -1 => exactness fallback (serial),
   // -2 => malformed stream (serial), -3 => sparse overflow (dense batch)
+  //
+  // packed mode (flags != nullptr): per-MB metadata is packed on the wire
+  // (flags u8 = qscale|intra<<5|written<<6, cbp u8 bit b = block b coded,
+  // mv as int16 pairs) and coefficients go out as (pos u8, val i16) with
+  // slot flags (see FrameOut::sp_pos); sp_counts needs max_frames+2 slots
+  // (the final two receive total pairs and total coded blocks).
   int parse_batch(bool eof, int max_frames, int64_t n_mb_stride,
                   int16_t* levels, uint8_t* qscale, uint8_t* coded,
                   uint8_t* intra, uint8_t* written, int32_t* mv,
                   uint8_t* pic_types, int32_t* sp_idx, int16_t* sp_val,
-                  int64_t sp_cap_per_frame, int64_t* sp_counts) {
+                  int64_t sp_cap_per_frame, int64_t* sp_counts,
+                  uint8_t* flags = nullptr, uint8_t* cbp = nullptr,
+                  int16_t* mv16 = nullptr, uint8_t* sp_pos = nullptr) {
     if (!has_seq) return 0;
     // the serial scratch must be clean, else its state can't transfer
     if (serial.bd_dirty) return -1;
@@ -613,11 +649,24 @@ struct Parser {
     std::atomic<bool> any_leak(false);
     std::atomic<bool> any_error(false);
     std::atomic<bool> any_overflow(false);
-    bool sparse = sp_idx != nullptr;
+    std::atomic<int64_t> total_blocks(0);
+    bool packed = flags != nullptr;
+    bool sparse = sp_idx != nullptr || packed;
 
     auto work = [&]() {
       PictureParser pp;
       pp.seq = &seq;
+      // packed mode parses into thread-local slabs, then compresses the
+      // per-MB metadata into the caller's wire buffers
+      std::vector<uint8_t> q_s, c_s, i_s, w_s;
+      std::vector<int32_t> mv_s;
+      if (packed) {
+        q_s.resize(n_mb_stride);
+        c_s.resize(n_mb_stride * 6);
+        i_s.resize(n_mb_stride);
+        w_s.resize(n_mb_stride);
+        mv_s.resize(n_mb_stride * 2);
+      }
       while (true) {
         int k = next.fetch_add(1);
         if (k >= n) break;
@@ -633,21 +682,49 @@ struct Parser {
         pp.out = FrameOut{};
         pp.out.levels = sparse ? nullptr
                                : levels + (int64_t)k * n_mb_stride * 6 * 64;
-        pp.out.qscale = qscale + (int64_t)k * n_mb_stride;
-        pp.out.coded = coded + (int64_t)k * n_mb_stride * 6;
-        pp.out.intra = intra + (int64_t)k * n_mb_stride;
-        pp.out.written = written + (int64_t)k * n_mb_stride;
-        pp.out.mv = mv + (int64_t)k * n_mb_stride * 2;
-        if (sparse) {
-          pp.out.sp_idx = sp_idx + (int64_t)k * sp_cap_per_frame;
+        if (packed) {
+          pp.out.qscale = q_s.data();
+          pp.out.coded = c_s.data();
+          pp.out.intra = i_s.data();
+          pp.out.written = w_s.data();
+          pp.out.mv = mv_s.data();
+          pp.out.sp_pos = sp_pos + (int64_t)k * sp_cap_per_frame;
           pp.out.sp_val = sp_val + (int64_t)k * sp_cap_per_frame;
           pp.out.sp_cap = sp_cap_per_frame;
-          pp.out.sp_base = (int64_t)k * n_mb_stride * 6 * 64;
+        } else {
+          pp.out.qscale = qscale + (int64_t)k * n_mb_stride;
+          pp.out.coded = coded + (int64_t)k * n_mb_stride * 6;
+          pp.out.intra = intra + (int64_t)k * n_mb_stride;
+          pp.out.written = written + (int64_t)k * n_mb_stride;
+          pp.out.mv = mv + (int64_t)k * n_mb_stride * 2;
+          if (sparse) {
+            pp.out.sp_idx = sp_idx + (int64_t)k * sp_cap_per_frame;
+            pp.out.sp_val = sp_val + (int64_t)k * sp_cap_per_frame;
+            pp.out.sp_cap = sp_cap_per_frame;
+            pp.out.sp_base = (int64_t)k * n_mb_stride * 6 * 64;
+          }
         }
         bool produced = pp.decode_picture();
         pic_types[k] = (uint8_t)pp.pic_type;
         if (!produced) pic_types[k] = 0;     // shouldn't happen (classified)
         if (sparse) sp_counts[k] = pp.out.sp_count;
+        if (packed) {
+          uint8_t* fl = flags + (int64_t)k * n_mb_stride;
+          uint8_t* cb = cbp + (int64_t)k * n_mb_stride;
+          int16_t* m16 = mv16 + (int64_t)k * n_mb_stride * 2;
+          int64_t blocks = 0;
+          for (int64_t m = 0; m < n_mb_stride; m++) {
+            fl[m] = (uint8_t)((q_s[m] & 31) | (i_s[m] ? 0x20 : 0) |
+                              (w_s[m] ? 0x40 : 0));
+            uint8_t c = 0;
+            for (int b = 0; b < 6; b++)
+              if (c_s[m * 6 + b]) { c |= (uint8_t)(1 << b); blocks++; }
+            cb[m] = c;
+            m16[m * 2] = (int16_t)mv_s[m * 2];
+            m16[m * 2 + 1] = (int16_t)mv_s[m * 2 + 1];
+          }
+          total_blocks.fetch_add(blocks);
+        }
         if (pp.leaky || pp.bd_dirty) any_leak.store(true);
         if (pp.error) any_error.store(true);
         if (pp.out.sp_overflow) any_overflow.store(true);
@@ -667,13 +744,18 @@ struct Parser {
       // compact per-picture segments into a contiguous prefix
       int64_t total = sp_counts[0];
       for (int k = 1; k < n; k++) {
-        std::memmove(sp_idx + total, sp_idx + (int64_t)k * sp_cap_per_frame,
-                     sp_counts[k] * 4);
+        if (packed)
+          std::memmove(sp_pos + total, sp_pos + (int64_t)k * sp_cap_per_frame,
+                       sp_counts[k]);
+        else
+          std::memmove(sp_idx + total, sp_idx + (int64_t)k * sp_cap_per_frame,
+                       sp_counts[k] * 4);
         std::memmove(sp_val + total, sp_val + (int64_t)k * sp_cap_per_frame,
                      sp_counts[k] * 2);
         total += sp_counts[k];
       }
       sp_counts[max_frames] = total;   // caller-provided extra slot
+      if (packed) sp_counts[max_frames + 1] = total_blocks.load();
     }
 
     bit_index = consumed;
@@ -749,6 +831,20 @@ int mpeg1_parser_parse_batch_sparse(
   return ps->parse_batch(eof != 0, max_frames, ps->seq.mb_size, nullptr,
                          qscale, coded, intra, written, mv, pic_types,
                          sp_idx, sp_val, sp_cap_per_frame, sp_counts);
+}
+
+// packed-wire variant: 3 bytes/coefficient + 8 bytes/MB metadata.
+// sp_counts must have max_frames+2 slots ([F] = compacted total pairs,
+// [F+1] = total coded blocks across the batch).
+int mpeg1_parser_parse_batch_packed(
+    void* p, int eof, int max_frames, uint8_t* flags, uint8_t* cbp,
+    int16_t* mv16, uint8_t* pic_types, uint8_t* sp_pos, int16_t* sp_val,
+    int64_t sp_cap_per_frame, int64_t* sp_counts) {
+  Parser* ps = (Parser*)p;
+  return ps->parse_batch(eof != 0, max_frames, ps->seq.mb_size, nullptr,
+                         nullptr, nullptr, nullptr, nullptr, nullptr,
+                         pic_types, nullptr, sp_val, sp_cap_per_frame,
+                         sp_counts, flags, cbp, mv16, sp_pos);
 }
 
 void mpeg1_parser_set_threads(void* p, int n) {

@@ -103,6 +103,111 @@ def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
     return cur, fwd, outs
 
 
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk'))
+def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
+                       cbp: jnp.ndarray, mv16: jnp.ndarray,
+                       sp_pos: jnp.ndarray, sp_val: jnp.ndarray,
+                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
+                       valid: jnp.ndarray, mb_h: int, mb_w: int, n_blk: int):
+    """Packed-wire pipeline (3 B/coefficient + 8 B/MB): the host sends
+    per-MB metadata packed into bytes and coefficients as (pos, value)
+    pairs whose block association is carried by flag bits (bit 7 = first
+    pair of a coded block, bit 6 = empty-coded-block marker).  The device
+    rebuilds global scatter indices from the cbp bitmap: coded-block ids in
+    row-major (frame, mb, block) order match the host's emission order."""
+    F, n_mb = flags.shape
+    qscale = (flags & 31).astype(jnp.uint8)
+    intra = (flags & 0x20) != 0
+    written = (flags & 0x40) != 0
+    coded = (cbp[..., None] & (1 << jnp.arange(6, dtype=jnp.uint8))) != 0
+    oob = F * n_mb * 6
+    blk_ids = jnp.flatnonzero(coded.reshape(-1), size=n_blk, fill_value=oob)
+    blk_ids = jnp.concatenate([blk_ids, jnp.full((1,), oob, blk_ids.dtype)])
+    slot = jnp.cumsum((sp_pos >> 7).astype(jnp.int32)) - 1
+    gid = blk_ids[jnp.clip(slot, 0, n_blk)]
+    pair_ok = (sp_pos & 0x40) == 0
+    idx = jnp.where(pair_ok, gid * 64 + (sp_pos & 63).astype(gid.dtype),
+                    oob * 64)
+    flat = jnp.zeros((F * n_mb * 6 * 64,), jnp.int16)
+    flat = flat.at[idx].set(sp_val, mode='drop')
+    stacked = LevelsArrays(
+        levels=flat.reshape(F, n_mb, 6, 64), qscale=qscale, coded=coded,
+        intra=intra, written=written, mv_h=mv16[..., 0].astype(jnp.int32),
+        mv_v=mv16[..., 1].astype(jnp.int32), valid=valid)
+
+    def step(carry, la):
+        fr = levels_to_frame(la, intra_q, non_intra_q)
+        return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w)
+
+    (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
+    return cur, fwd, outs
+
+
+def _bucket(n: int, lo: int = 4096) -> int:
+    """Smallest {2^k, 1.5*2^k} >= n: bounded jit variants, <=33% padding."""
+    b = lo
+    while b < n:
+        h = b + (b >> 1)
+        if h >= n:
+            return h
+        b <<= 1
+    return b
+
+
+class PlanesBatch:
+    """Lazy view over the stacked output of one device scan: slicing a
+    frame out of the batch is a device op (a dispatch over the transport),
+    so it happens only when a frame is actually touched."""
+
+    def __init__(self, outs: Planes, n: int):
+        self._outs = outs
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def frame(self, i: int) -> Planes:
+        if not -self._n <= i < self._n:
+            raise IndexError(i)
+        i = i % self._n
+        o = self._outs
+        return Planes(o.y[i], o.cr[i], o.cb[i])
+
+
+class FrameSeq:
+    """List-like concatenation of PlanesBatch chunks + eager Planes."""
+
+    def __init__(self):
+        self._chunks: list = []
+        self._len = 0
+
+    def append_batch(self, batch: PlanesBatch) -> None:
+        self._chunks.append(batch)
+        self._len += len(batch)
+
+    def append(self, planes: Planes) -> None:
+        self._chunks.append(planes)
+        self._len += 1
+
+    def __len__(self) -> int:
+        return self._len
+
+    def __getitem__(self, i: int):
+        if not -self._len <= i < self._len:
+            raise IndexError(i)
+        i = i % self._len
+        for c in self._chunks:
+            n = len(c) if isinstance(c, PlanesBatch) else 1
+            if i < n:
+                return c.frame(i) if isinstance(c, PlanesBatch) else c
+            i -= n
+        raise IndexError(i)
+
+    def __iter__(self):
+        for i in range(self._len):
+            yield self[i]
+
+
 class MPEG1Decoder:
     """Streaming-capable MPEG1 video decoder (TPU pipeline).
 
@@ -254,72 +359,107 @@ class MPEG1Decoder:
 
     def decode_available(self, eof: bool = False, pad_to: int = 0):
         """Parse every complete picture buffered and decode them in one or
-        more device scans.  Returns list of Planes (device arrays)."""
-        outs = []
+        more device scans.  Returns a FrameSeq of Planes (device arrays;
+        per-frame slices materialize lazily on access)."""
+        outs = FrameSeq()
         if hasattr(self.parser, 'parse_batch'):
-            outs, needs_serial = self._decode_available_batch(eof)
+            needs_serial = self._decode_available_batch(eof, outs)
             if needs_serial:
                 # quirk leak or malformed data: finish with the always-exact
                 # serial coefficient path
-                outs += self._decode_available_serial(eof, pad_to) or []
+                for p in self._decode_available_serial(eof, pad_to) or []:
+                    outs.append(p)
         else:
-            outs = self._decode_available_serial(eof, pad_to) or []
-        if not outs:
+            for p in self._decode_available_serial(eof, pad_to) or []:
+                outs.append(p)
+        if not len(outs):
             return None
         if self.destination is not None:
             for p in outs:
                 self.destination.render(p.y, p.cr, p.cb)
         return outs
 
-    def _decode_available_batch(self, eof: bool):
-        """Threaded C++ parse + raw-levels device pipeline.
-        Returns (planes_list, needs_serial_fallback)."""
+    def _dispatch_packed(self, batch):
+        """Upload one packed batch and dispatch its device scan (async)."""
         seq = self.parser.seq
-        outs_all = []
+        n = batch['n']
+        iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
+        nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
+        total = len(batch['sp_pos'])
+        bucket = _bucket(max(total, 1))
+        # padding pairs: bit 6 set (never scattered), bit 7 clear (do not
+        # advance the block slot)
+        sp_pos = np.full(bucket, 0x40, dtype=np.uint8)
+        sp_val = np.zeros(bucket, dtype=np.int16)
+        sp_pos[:total] = batch['sp_pos']
+        sp_val[:total] = batch['sp_val']
+        n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
+        valid = np.arange(self.BATCH_FRAMES) < n
+        args = jax.device_put((batch['flags'], batch['cbp'], batch['mv16'],
+                               sp_pos, sp_val, valid))
+        self._cur, self._fwd, outs = decode_scan_packed(
+            self._cur, self._fwd, *args[:5], iq, nq, args[5],
+            mb_h=seq.mb_height, mb_w=seq.mb_width, n_blk=n_blk)
+        return outs
+
+    def _dispatch_batch(self, batch):
+        """Upload one parsed batch (any wire format) and dispatch its
+        device scan; returns the stacked Planes output (async)."""
+        if 'sp_pos' in batch:
+            return self._dispatch_packed(batch)
+        seq = self.parser.seq
+        n = batch['n']
+        iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
+        nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
+        common = dict(
+            qscale=batch['qscale'],
+            coded=batch['coded'].astype(bool),
+            intra=batch['intra'].astype(bool),
+            written=batch['written'].astype(bool),
+            mv_h=np.ascontiguousarray(batch['mv'][..., 0]),
+            mv_v=np.ascontiguousarray(batch['mv'][..., 1]),
+            valid=(np.arange(self.BATCH_FRAMES) < n))
+        if 'sp_idx' in batch:
+            total = len(batch['sp_idx'])
+            bucket = _bucket(max(total, 1))
+            oob = self.BATCH_FRAMES * seq.mb_size * 6 * 64
+            sp_idx = np.full(bucket, oob, dtype=np.int32)
+            sp_val = np.zeros(bucket, dtype=np.int16)
+            sp_idx[:total] = batch['sp_idx']
+            sp_val[:total] = batch['sp_val']
+            rest = LevelsArrays(levels=np.zeros(0, np.int16), **common)
+            sp_idx, sp_val, rest = jax.device_put((sp_idx, sp_val, rest))
+            self._cur, self._fwd, outs = decode_scan_sparse(
+                self._cur, self._fwd, sp_idx, sp_val, rest, iq, nq,
+                mb_h=seq.mb_height, mb_w=seq.mb_width)
+        else:
+            stacked = LevelsArrays(levels=batch['levels'], **common)
+            stacked = jax.device_put(stacked)
+            self._cur, self._fwd, outs = decode_scan_levels(
+                self._cur, self._fwd, stacked, iq, nq,
+                mb_h=seq.mb_height, mb_w=seq.mb_width)
+        return outs
+
+    def _decode_available_batch(self, eof: bool, outs_all: 'FrameSeq'):
+        """Threaded C++ parse + packed-wire device pipeline, with the parse
+        of batch k+1 overlapped against the (async) upload + scan of batch
+        k.  Returns needs_serial_fallback."""
+        batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
         while True:
-            batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
             if batch == 'fallback':
-                return outs_all, True
+                return True
             if batch is None:
-                break
+                return False
+            # dispatch is async: the device transfer + scan of this batch
+            # proceed while the C++ parser (GIL released) runs the next
+            outs = self._dispatch_batch(batch)
             n = batch['n']
-            iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
-            nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
-            common = dict(
-                qscale=batch['qscale'],
-                coded=batch['coded'].astype(bool),
-                intra=batch['intra'].astype(bool),
-                written=batch['written'].astype(bool),
-                mv_h=np.ascontiguousarray(batch['mv'][..., 0]),
-                mv_v=np.ascontiguousarray(batch['mv'][..., 1]),
-                valid=(np.arange(self.BATCH_FRAMES) < n))
-            if 'sp_idx' in batch:
-                # pad coefficient pairs to a power-of-two bucket (bounded
-                # jit variants); padding indices land out of range -> drop
-                total = len(batch['sp_idx'])
-                bucket = max(1 << max(total - 1, 1).bit_length(), 4096)
-                oob = self.BATCH_FRAMES * seq.mb_size * 6 * 64
-                sp_idx = np.full(bucket, oob, dtype=np.int32)
-                sp_val = np.zeros(bucket, dtype=np.int16)
-                sp_idx[:total] = batch['sp_idx']
-                sp_val[:total] = batch['sp_val']
-                rest = LevelsArrays(levels=np.zeros(0, np.int16), **common)
-                sp_idx, sp_val, rest = jax.device_put((sp_idx, sp_val, rest))
-                self._cur, self._fwd, outs = decode_scan_sparse(
-                    self._cur, self._fwd, sp_idx, sp_val, rest, iq, nq,
-                    mb_h=seq.mb_height, mb_w=seq.mb_width)
-            else:
-                stacked = LevelsArrays(levels=batch['levels'], **common)
-                stacked = jax.device_put(stacked)
-                self._cur, self._fwd, outs = decode_scan_levels(
-                    self._cur, self._fwd, stacked, iq, nq,
-                    mb_h=seq.mb_height, mb_w=seq.mb_width)
-            for i in range(n):
+            batch = (self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
+                     if n == self.BATCH_FRAMES else None)
+            for _ in range(n):
                 self.advance_decoded_time(1.0 / self.frame_rate)
-                outs_all.append(Planes(outs.y[i], outs.cr[i], outs.cb[i]))
-            if n < self.BATCH_FRAMES:
-                break
-        return outs_all, False
+            outs_all.append_batch(PlanesBatch(
+                Planes(outs.y, outs.cr, outs.cb), n))
 
     def _decode_available_serial(self, eof: bool = False, pad_to: int = 0):
         frames = []

@@ -88,3 +88,39 @@ def test_seq_info_matches():
                                   nat.seq.intra_quant_matrix)
     np.testing.assert_array_equal(py.seq.non_intra_quant_matrix,
                                   nat.seq.non_intra_quant_matrix)
+
+
+def test_packed_wire_format_matches_dense():
+    """The packed wire (flags/cbp/mv16 + pos/val pairs with slot flags)
+    reconstructs exactly the dense levels slab."""
+    es, _ = encode_test_stream(96, 64, n_frames=6, seed=7, gop=3)
+    pa = native.NativeMPEG1Parser()
+    pa.write(es)
+    packed = pa.parse_batch(8, eof=True, packed=True)
+    pb = native.NativeMPEG1Parser()
+    pb.write(es)
+    dense = pb.parse_batch(8, eof=True, sparse=False, packed=False)
+    assert isinstance(packed, dict) and isinstance(dense, dict)
+    assert packed['n'] == dense['n']
+    n_mb = pa.seq.mb_size
+    # metadata round-trip
+    np.testing.assert_array_equal(packed['flags'] & 31, dense['qscale'] & 31)
+    np.testing.assert_array_equal((packed['flags'] >> 5) & 1, dense['intra'])
+    np.testing.assert_array_equal((packed['flags'] >> 6) & 1, dense['written'])
+    for b in range(6):
+        np.testing.assert_array_equal((packed['cbp'] >> b) & 1,
+                                      dense['coded'][..., b])
+    np.testing.assert_array_equal(packed['mv16'].astype(np.int32), dense['mv'])
+    # coefficient reconstruction (mirror of the device-side unpack)
+    coded_flat = np.zeros((8, n_mb, 6), bool)
+    for b in range(6):
+        coded_flat[..., b] = (packed['cbp'] >> b) & 1
+    blk_ids = np.flatnonzero(coded_flat.reshape(-1))
+    assert len(blk_ids) == packed['n_blocks']
+    slot = np.cumsum(packed['sp_pos'] >> 7) - 1
+    ok = (packed['sp_pos'] & 0x40) == 0
+    levels = np.zeros((8, n_mb, 6, 64), np.int16)
+    flat = levels.reshape(-1)
+    gid = blk_ids[slot[ok]]
+    flat[gid * 64 + (packed['sp_pos'][ok] & 63)] = packed['sp_val'][ok]
+    np.testing.assert_array_equal(levels, dense['levels'])
