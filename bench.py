@@ -21,13 +21,35 @@ import time
 
 import numpy as np
 
+# persistent executable cache: the tunneled-TPU compile path is slow
+# (~90 s/variant) but serializable, so warm runs skip it entirely
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
+
 W, H = 1280, 720
 N_FRAMES = int(os.environ.get('BENCH_FRAMES', '48'))
 GOP = 12
 
 
 def build_stream():
-    """Synthesize a 720p I/P stream (no ffmpeg in the image)."""
+    """Synthesize a 720p I/P stream with realistic coded statistics
+    (~5 Mbit/s -- above the reference's recommended >=2 Mbit/s operating
+    point for 720p, reference README.md:115,117).  No ffmpeg in the
+    image; fixtures are self-made."""
+    from jsmpeg_tpu.testing.gen import encode_realistic_stream
+    cache = f'/tmp/jsmpeg_tpu_bench_real_{W}x{H}_{N_FRAMES}.es'
+    if os.path.exists(cache):
+        with open(cache, 'rb') as f:
+            return f.read()
+    es, _ = encode_realistic_stream(W, H, n_frames=N_FRAMES, seed=3,
+                                    gop=GOP)
+    with open(cache, 'wb') as f:
+        f.write(es)
+    return es
+
+
+def build_dense_stream():
+    """Pathological coefficient-dense noise stream (~28 Mbit/s): the
+    stress variant, reported as a secondary metric."""
     from jsmpeg_tpu.testing.gen import encode_test_stream
     cache = f'/tmp/jsmpeg_tpu_bench_{W}x{H}_{N_FRAMES}.es'
     if os.path.exists(cache):
@@ -54,11 +76,14 @@ def main():
         return len(outs)
 
     n = run_e2e()                       # compile warmup
-    reps = 3
-    t0 = time.monotonic()
-    for _ in range(reps):
+    # the tunneled transport's throughput varies a lot run-to-run;
+    # median of 5 is the stable operating point
+    times = []
+    for _ in range(5):
+        t0 = time.monotonic()
         n = run_e2e()
-    e2e_s = (time.monotonic() - t0) / reps
+        times.append(time.monotonic() - t0)
+    e2e_s = sorted(times)[len(times) // 2]
     e2e_fps = n / e2e_s
 
     # stage: host parse alone (threaded C++ batch)
@@ -108,21 +133,33 @@ def main():
         jax.block_until_ready(r[2].y)
     device_fps = 32 * 5 / (time.monotonic() - t0)
 
-    # MP2 frames/s (exact host path)
-    from jsmpeg_tpu.host.mp2_parse import MP2Parser
-    from jsmpeg_tpu.ops import mp2_synth
+    # secondary: the coefficient-dense stress stream, e2e
+    es_dense = build_dense_stream()
+
+    def run_dense():
+        d = MPEG1Decoder()
+        d.write(0.0, es_dense)
+        o = d.decode_available(eof=True)
+        jax.block_until_ready(o[-1].y)
+        return len(o)
+
+    nd = run_dense()
+    dtimes = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        nd = run_dense()
+        dtimes.append(time.monotonic() - t0)
+    dense_fps = nd / sorted(dtimes)[1]
+
+    # MP2 frames/s (bit-exact C++ host path; Python fallback)
+    from jsmpeg_tpu.models.mp2 import MP2Decoder
     from jsmpeg_tpu.testing.mp2_enc import encode_stream
-    aes, _ = encode_stream(16, seed=1)
+    aes, _ = encode_stream(400, seed=1)
+    ad = MP2Decoder()
+    ad.write(0.0, aes)
     t0 = time.monotonic()
-    ap = MP2Parser()
-    ap.write(aes)
-    st = mp2_synth.initial_state()
     n_audio = 0
-    while True:
-        fr = ap.parse_frame()
-        if fr is None:
-            break
-        _, st = mp2_synth.synthesize_exact(fr.samples, st)
+    while ad.decode() is not None:
         n_audio += 1
     mp2_fps = n_audio / (time.monotonic() - t0)
 
@@ -133,6 +170,8 @@ def main():
         'vs_baseline': round(e2e_fps / 30.0, 3),
         'device_pipeline_fps': round(device_fps, 2),
         'host_parse_fps': round(parse_fps, 2),
+        'dense_28mbit_fps': round(dense_fps, 2),
+        'bitrate_mbit_s': round(len(es) * 8 * 30.0 / N_FRAMES / 1e6, 2),
         'mp2_frames_per_s': round(mp2_fps, 1),
         'frames': n,
         'device': str(jax.devices()[0]),

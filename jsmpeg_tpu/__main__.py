@@ -11,8 +11,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# persistent executable cache (slow tunneled-TPU compiles, fast reloads)
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
 
 
 def main(argv=None) -> int:

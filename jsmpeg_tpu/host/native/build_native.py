@@ -12,7 +12,9 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SO_PATH = os.path.join(HERE, 'libjsmpeg_host.so')
-SRC = os.path.join(HERE, 'frontend.cpp')
+SRCS = [os.path.join(HERE, 'frontend.cpp'), os.path.join(HERE, 'mp2.cpp')]
+DEPS = SRCS + [os.path.join(HERE, 'bitview.h'),
+               os.path.join(HERE, 'gen_tables.py')]
 HDR = os.path.join(HERE, 'vlc_tables.h')
 
 
@@ -20,7 +22,7 @@ def build(verbose: bool = True) -> str:
     from .gen_tables import generate
     generate(HDR)
     cmd = ['g++', '-O3', '-march=native', '-std=c++17', '-shared', '-fPIC',
-           '-o', SO_PATH, SRC]
+           '-o', SO_PATH] + SRCS
     if verbose:
         print('+', ' '.join(cmd))
     subprocess.run(cmd, check=True, cwd=HERE)
@@ -31,8 +33,7 @@ def ensure_built() -> str:
     """Build if missing or stale (source newer than the .so)."""
     if os.path.exists(SO_PATH):
         so_m = os.path.getmtime(SO_PATH)
-        if all(os.path.getmtime(f) <= so_m
-               for f in (SRC, os.path.join(HERE, 'gen_tables.py'))):
+        if all(os.path.getmtime(f) <= so_m for f in DEPS):
             return SO_PATH
     return build(verbose=False)
 

@@ -29,7 +29,19 @@ class MP2Decoder:
 
     def __init__(self, options: Optional[dict] = None, mode: str = 'exact'):
         options = options or {}
-        self.parser = MP2Parser()
+        use_native = options.get('native')
+        self.parser = None
+        if use_native is None or use_native:
+            try:
+                from ..host.native import NativeMP2Parser, native_available
+                if native_available():
+                    self.parser = NativeMP2Parser()
+            except Exception:
+                self.parser = None
+        if self.parser is None:
+            if use_native:
+                raise RuntimeError('native MP2 frontend unavailable')
+            self.parser = MP2Parser()
         self.destination = None
         self.mode = mode
         self.sample_rate = 44100
@@ -150,6 +162,11 @@ class MP2Decoder:
 
     def _synthesize(self, samples: np.ndarray) -> np.ndarray:
         if self.mode == 'exact':
+            if hasattr(self.parser, 'synthesize'):
+                # C++ path: bit-exact synthesis with the V ring carried in
+                # the native decoder
+                left, right = self.parser.synthesize(samples)
+                return np.stack([left, right])
             pcm, self._state = mp2_synth.synthesize_exact(samples, self._state)
             return pcm
         pcm, new_chunks = _tpu_synth(jnp.asarray(samples),

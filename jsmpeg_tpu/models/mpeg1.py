@@ -103,6 +103,35 @@ def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
     return cur, fwd, outs
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk'))
+def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
+                      intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
+                      mb_h: int, mb_w: int, n_frames: int, n_blk: int):
+    """Single-upload variant of decode_scan_packed: the whole batch rides
+    in ONE uint8 buffer (one transport round trip on high-latency links):
+    [valid F][flags F*n_mb][cbp F*n_mb][mv16 LE bytes 4*F*n_mb]
+    [sp_pos P][sp_val LE bytes 2P], P = (len-F-6*F*n_mb)//3."""
+    F, n_mb = n_frames, mb_h * mb_w
+    a = F * n_mb
+    P = (buf.shape[0] - F - 6 * a) // 3
+    o = F
+    valid = buf[:F] != 0
+    flags = buf[o:o + a].reshape(F, n_mb)
+    o += a
+    cbp = buf[o:o + a].reshape(F, n_mb)
+    o += a
+    mv16 = jax.lax.bitcast_convert_type(
+        buf[o:o + 4 * a].reshape(F, n_mb, 2, 2), jnp.int16)
+    o += 4 * a
+    sp_pos = buf[o:o + P]
+    o += P
+    sp_val = jax.lax.bitcast_convert_type(
+        buf[o:o + 2 * P].reshape(P, 2), jnp.int16)
+    return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
+                        intra_q, non_intra_q, valid, mb_h, mb_w, n_blk)
+
+
 @functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk'))
 def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        cbp: jnp.ndarray, mv16: jnp.ndarray,
@@ -141,6 +170,14 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
 
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
+
+
+def _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val, intra_q,
+                 non_intra_q, valid, mb_h, mb_w, n_blk):
+    return decode_scan_packed.__wrapped__(cur, fwd, flags, cbp, mv16,
+                                          sp_pos, sp_val, intra_q,
+                                          non_intra_q, valid, mb_h, mb_w,
+                                          n_blk)
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
@@ -379,27 +416,52 @@ class MPEG1Decoder:
                 self.destination.render(p.y, p.cr, p.cb)
         return outs
 
+    def _quant_matrices(self):
+        """Quant matrices as device-resident constants (cached)."""
+        seq = self.parser.seq
+        key = (seq.intra_quant_matrix.tobytes(),
+               seq.non_intra_quant_matrix.tobytes())
+        if getattr(self, '_quant_key', None) != key:
+            self._quant_key = key
+            self._quant_dev = jax.device_put(
+                (jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32),
+                 jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)))
+        return self._quant_dev
+
     def _dispatch_packed(self, batch):
-        """Upload one packed batch and dispatch its device scan (async)."""
+        """Upload one packed batch as a single fused byte buffer and
+        dispatch its device scan (async).  One transfer per batch: the
+        transport has high per-RPC latency, so round trips dominate small
+        uploads."""
         seq = self.parser.seq
         n = batch['n']
-        iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
-        nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
+        iq, nq = self._quant_matrices()
+        F = self.BATCH_FRAMES
+        n_mb = seq.mb_size
         total = len(batch['sp_pos'])
         bucket = _bucket(max(total, 1))
+        n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
+        a = F * n_mb
+        buf = np.empty(F + 6 * a + 3 * bucket, dtype=np.uint8)
+        buf[:F] = np.arange(F) < n
+        o = F
+        buf[o:o + a] = batch['flags'].reshape(-1)
+        o += a
+        buf[o:o + a] = batch['cbp'].reshape(-1)
+        o += a
+        buf[o:o + 4 * a] = batch['mv16'].reshape(-1).view(np.uint8)
+        o += 4 * a
         # padding pairs: bit 6 set (never scattered), bit 7 clear (do not
         # advance the block slot)
-        sp_pos = np.full(bucket, 0x40, dtype=np.uint8)
-        sp_val = np.zeros(bucket, dtype=np.int16)
-        sp_pos[:total] = batch['sp_pos']
-        sp_val[:total] = batch['sp_val']
-        n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
-        valid = np.arange(self.BATCH_FRAMES) < n
-        args = jax.device_put((batch['flags'], batch['cbp'], batch['mv16'],
-                               sp_pos, sp_val, valid))
-        self._cur, self._fwd, outs = decode_scan_packed(
-            self._cur, self._fwd, *args[:5], iq, nq, args[5],
-            mb_h=seq.mb_height, mb_w=seq.mb_width, n_blk=n_blk)
+        buf[o:o + bucket] = 0x40
+        buf[o:o + total] = batch['sp_pos']
+        o += bucket
+        buf[o:o + 2 * total] = batch['sp_val'].view(np.uint8)
+        buf[o + 2 * total:] = 0
+        dev = jax.device_put(buf)
+        self._cur, self._fwd, outs = decode_scan_fused(
+            self._cur, self._fwd, dev, iq, nq,
+            mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F, n_blk=n_blk)
         return outs
 
     def _dispatch_batch(self, batch):
