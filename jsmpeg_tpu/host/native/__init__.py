@@ -38,7 +38,7 @@ def _load():
         [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
     lib.mpeg1_parser_parse_batch_packed.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + \
-        [ctypes.c_void_p] * 6 + [ctypes.c_int64, ctypes.c_void_p]
+        [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
     lib.mpeg1_parser_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.mp2_decoder_create.restype = ctypes.c_void_p
     lib.mp2_decoder_destroy.argtypes = [ctypes.c_void_p]
@@ -142,7 +142,9 @@ class NativeMPEG1Parser:
         invariant / malformed stream) and the caller must use parse_frame().
 
         Wire formats, by upload cost per coefficient / per MB:
-          packed=True (default): 'flags'/'cbp'/'mv16' metadata (8 B/MB) +
+          packed=True (default): run-length-encoded per-MB metadata
+            ('run_len'/'run_flags'/'run_cbp'/'run_mv', 8 B/run -- runs of
+            identical (flags, cbp, mv) tuples, never crossing a picture) +
             'sp_pos'/'sp_val' pairs (3 B/coefficient, slot flags in the top
             bits of sp_pos -- the device rebuilds global indices from cbp);
           sparse=True: 'sp_idx'/'sp_val' global (index, value) pairs
@@ -158,16 +160,19 @@ class NativeMPEG1Parser:
         if packed:
             saved_index = self._lib.mpeg1_parser_bit_index(self._p)
             cap = n_mb * 6 * self.SPARSE_CAP_PER_BLOCK
-            flags = np.zeros((F, n_mb), dtype=np.uint8)
-            cbp = np.zeros((F, n_mb), dtype=np.uint8)
-            mv16 = np.zeros((F, n_mb, 2), dtype=np.int16)
+            run_len = np.empty(F * n_mb, dtype=np.uint16)
+            run_flags = np.empty(F * n_mb, dtype=np.uint8)
+            run_cbp = np.empty(F * n_mb, dtype=np.uint8)
+            run_mv = np.empty((F * n_mb, 2), dtype=np.int16)
+            run_counts = np.zeros(F + 1, dtype=np.int64)
             pic_types = np.zeros(F, dtype=np.uint8)
             sp_pos = np.empty(F * cap, dtype=np.uint8)
             sp_val = np.empty(F * cap, dtype=np.int16)
             sp_counts = np.zeros(F + 2, dtype=np.int64)
             r = self._lib.mpeg1_parser_parse_batch_packed(
-                self._p, 1 if eof else 0, F, _ptr(flags), _ptr(cbp),
-                _ptr(mv16), _ptr(pic_types), _ptr(sp_pos), _ptr(sp_val),
+                self._p, 1 if eof else 0, F, _ptr(run_len), _ptr(run_flags),
+                _ptr(run_cbp), _ptr(run_mv), _ptr(run_counts),
+                _ptr(pic_types), _ptr(sp_pos), _ptr(sp_val),
                 cap, _ptr(sp_counts))
             if r == -3:
                 self._lib.mpeg1_parser_set_bit_index(self._p, saved_index)
@@ -179,7 +184,9 @@ class NativeMPEG1Parser:
                 return None
             self.frames_parsed += r
             total = int(sp_counts[F])
-            return dict(n=r, flags=flags, cbp=cbp, mv16=mv16,
+            rt = int(run_counts[F])
+            return dict(n=r, run_len=run_len[:rt], run_flags=run_flags[:rt],
+                        run_cbp=run_cbp[:rt], run_mv=run_mv[:rt],
                         sp_pos=sp_pos[:total], sp_val=sp_val[:total],
                         n_blocks=int(sp_counts[F + 1]),
                         pic_types=pic_types)

@@ -251,7 +251,7 @@ struct PictureParser {
         if (prev > (fw_f << 4) - 1) prev -= fw_f << 5;
         else if (prev < -(fw_f << 4)) prev += fw_f << 5;
         cur = prev;
-        if (full_pel) cur <<= 1;
+        if (full_pel) cur *= 2;
       }
     } else if (pic_type == PIC_P) {
       motion_h = motion_h_prev = 0;
@@ -321,7 +321,7 @@ struct PictureParser {
       if (first_coeff) first_pos = dez;
       n++;
       raw_levels[dez] = (int16_t)level;
-      level <<= 1;
+      level *= 2;   // (x*2 == x<<1; shifting negatives is formally UB)
       if (!intra) level += level < 0 ? -1 : 1;
       level = (int32_t)((int64_t)level * qscale * quant[dez]) >> 4;
       if ((level & 1) == 0) level -= level > 0 ? 1 : -1;
@@ -564,18 +564,23 @@ struct Parser {
   // returns number of frames parsed; -1 => exactness fallback (serial),
   // -2 => malformed stream (serial), -3 => sparse overflow (dense batch)
   //
-  // packed mode (flags != nullptr): per-MB metadata is packed on the wire
-  // (flags u8 = qscale|intra<<5|written<<6, cbp u8 bit b = block b coded,
-  // mv as int16 pairs) and coefficients go out as (pos u8, val i16) with
-  // slot flags (see FrameOut::sp_pos); sp_counts needs max_frames+2 slots
-  // (the final two receive total pairs and total coded blocks).
+  // packed mode (run_len != nullptr): per-MB metadata goes out run-length
+  // encoded over (flags, cbp, mv) tuples -- flags u8 =
+  // qscale|intra<<5|written<<6, cbp u8 bit b = block b coded, mv int16
+  // pairs, run lengths u16 never crossing a picture boundary (8 B/run;
+  // skip-dominated P pictures collapse to a handful of runs).
+  // Coefficients go out as (pos u8, val i16) pairs with slot flags (see
+  // FrameOut::sp_pos).  sp_counts needs max_frames+2 slots (total pairs,
+  // total coded blocks); run_counts needs max_frames+1 (total runs last).
   int parse_batch(bool eof, int max_frames, int64_t n_mb_stride,
                   int16_t* levels, uint8_t* qscale, uint8_t* coded,
                   uint8_t* intra, uint8_t* written, int32_t* mv,
                   uint8_t* pic_types, int32_t* sp_idx, int16_t* sp_val,
                   int64_t sp_cap_per_frame, int64_t* sp_counts,
-                  uint8_t* flags = nullptr, uint8_t* cbp = nullptr,
-                  int16_t* mv16 = nullptr, uint8_t* sp_pos = nullptr) {
+                  uint16_t* run_len = nullptr, uint8_t* run_flags = nullptr,
+                  uint8_t* run_cbp = nullptr, int16_t* run_mv = nullptr,
+                  int64_t* run_counts = nullptr,
+                  uint8_t* sp_pos = nullptr) {
     if (!has_seq) return 0;
     // the serial scratch must be clean, else its state can't transfer
     if (serial.bd_dirty) return -1;
@@ -598,7 +603,7 @@ struct Parser {
     std::atomic<bool> any_error(false);
     std::atomic<bool> any_overflow(false);
     std::atomic<int64_t> total_blocks(0);
-    bool packed = flags != nullptr;
+    bool packed = run_len != nullptr;
     bool sparse = sp_idx != nullptr || packed;
 
     auto work = [&]() {
@@ -657,20 +662,38 @@ struct Parser {
         if (!produced) pic_types[k] = 0;     // shouldn't happen (classified)
         if (sparse) sp_counts[k] = pp.out.sp_count;
         if (packed) {
-          uint8_t* fl = flags + (int64_t)k * n_mb_stride;
-          uint8_t* cb = cbp + (int64_t)k * n_mb_stride;
-          int16_t* m16 = mv16 + (int64_t)k * n_mb_stride * 2;
+          // run-length encode the (flags, cbp, mv) tuple stream of this
+          // picture into its run segment (worst case n_mb runs)
+          uint16_t* rl = run_len + (int64_t)k * n_mb_stride;
+          uint8_t* rf = run_flags + (int64_t)k * n_mb_stride;
+          uint8_t* rc = run_cbp + (int64_t)k * n_mb_stride;
+          int16_t* rm = run_mv + (int64_t)k * n_mb_stride * 2;
           int64_t blocks = 0;
+          int64_t n_runs = 0;
+          uint8_t pf = 0, pc = 0;
+          int16_t ph = 0, pv = 0;
           for (int64_t m = 0; m < n_mb_stride; m++) {
-            fl[m] = (uint8_t)((q_s[m] & 31) | (i_s[m] ? 0x20 : 0) |
-                              (w_s[m] ? 0x40 : 0));
+            uint8_t f = (uint8_t)((q_s[m] & 31) | (i_s[m] ? 0x20 : 0) |
+                                  (w_s[m] ? 0x40 : 0));
             uint8_t c = 0;
             for (int b = 0; b < 6; b++)
               if (c_s[m * 6 + b]) { c |= (uint8_t)(1 << b); blocks++; }
-            cb[m] = c;
-            m16[m * 2] = (int16_t)mv_s[m * 2];
-            m16[m * 2 + 1] = (int16_t)mv_s[m * 2 + 1];
+            int16_t mh = (int16_t)mv_s[m * 2];
+            int16_t mvv = (int16_t)mv_s[m * 2 + 1];
+            if (n_runs > 0 && f == pf && c == pc && mh == ph && mvv == pv &&
+                rl[n_runs - 1] < 65535) {
+              rl[n_runs - 1]++;
+            } else {
+              rl[n_runs] = 1;
+              rf[n_runs] = f;
+              rc[n_runs] = c;
+              rm[n_runs * 2] = mh;
+              rm[n_runs * 2 + 1] = mvv;
+              pf = f; pc = c; ph = mh; pv = mvv;
+              n_runs++;
+            }
           }
+          run_counts[k] = n_runs;
           total_blocks.fetch_add(blocks);
         }
         if (pp.leaky || pp.bd_dirty) any_leak.store(true);
@@ -703,7 +726,20 @@ struct Parser {
         total += sp_counts[k];
       }
       sp_counts[max_frames] = total;   // caller-provided extra slot
-      if (packed) sp_counts[max_frames + 1] = total_blocks.load();
+      if (packed) {
+        sp_counts[max_frames + 1] = total_blocks.load();
+        int64_t rtotal = run_counts[0];
+        for (int k = 1; k < n; k++) {
+          int64_t off = (int64_t)k * n_mb_stride;
+          std::memmove(run_len + rtotal, run_len + off, run_counts[k] * 2);
+          std::memmove(run_flags + rtotal, run_flags + off, run_counts[k]);
+          std::memmove(run_cbp + rtotal, run_cbp + off, run_counts[k]);
+          std::memmove(run_mv + rtotal * 2, run_mv + off * 2,
+                       run_counts[k] * 4);
+          rtotal += run_counts[k];
+        }
+        run_counts[max_frames] = rtotal;
+      }
     }
 
     bit_index = consumed;
@@ -781,18 +817,21 @@ int mpeg1_parser_parse_batch_sparse(
                          sp_idx, sp_val, sp_cap_per_frame, sp_counts);
 }
 
-// packed-wire variant: 3 bytes/coefficient + 8 bytes/MB metadata.
-// sp_counts must have max_frames+2 slots ([F] = compacted total pairs,
-// [F+1] = total coded blocks across the batch).
+// packed-wire variant: 3 bytes/coefficient + run-length-encoded per-MB
+// metadata (8 bytes/run).  Run arrays need max_frames*n_mb capacity;
+// sp_counts max_frames+2 slots ([F] = compacted total pairs, [F+1] =
+// total coded blocks); run_counts max_frames+1 ([F] = compacted total).
 int mpeg1_parser_parse_batch_packed(
-    void* p, int eof, int max_frames, uint8_t* flags, uint8_t* cbp,
-    int16_t* mv16, uint8_t* pic_types, uint8_t* sp_pos, int16_t* sp_val,
+    void* p, int eof, int max_frames, uint16_t* run_len, uint8_t* run_flags,
+    uint8_t* run_cbp, int16_t* run_mv, int64_t* run_counts,
+    uint8_t* pic_types, uint8_t* sp_pos, int16_t* sp_val,
     int64_t sp_cap_per_frame, int64_t* sp_counts) {
   Parser* ps = (Parser*)p;
   return ps->parse_batch(eof != 0, max_frames, ps->seq.mb_size, nullptr,
                          nullptr, nullptr, nullptr, nullptr, nullptr,
                          pic_types, nullptr, sp_val, sp_cap_per_frame,
-                         sp_counts, flags, cbp, mv16, sp_pos);
+                         sp_counts, run_len, run_flags, run_cbp, run_mv,
+                         run_counts, sp_pos);
 }
 
 void mpeg1_parser_set_threads(void* p, int n) {

@@ -104,30 +104,49 @@ def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk'))
+                   static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
+                                    'n_runs'))
 def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
-                      mb_h: int, mb_w: int, n_frames: int, n_blk: int):
+                      mb_h: int, mb_w: int, n_frames: int, n_blk: int,
+                      n_runs: int):
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links):
-    [valid F][flags F*n_mb][cbp F*n_mb][mv16 LE bytes 4*F*n_mb]
-    [sp_pos P][sp_val LE bytes 2P], P = (len-F-6*F*n_mb)//3."""
+    [valid F][run_len LE u16 2R][run_flags R][run_cbp R][run_mv LE i16 4R]
+    [sp_pos P][sp_val LE i16 2P], P = (len-F-8R)//3.  Per-MB metadata is
+    run-length encoded over (flags, cbp, mv) tuples; runs expand on device
+    via cumsum + searchsorted."""
     F, n_mb = n_frames, mb_h * mb_w
-    a = F * n_mb
-    P = (buf.shape[0] - F - 6 * a) // 3
+    R = n_runs
+    P = (buf.shape[0] - F - 8 * R) // 3
     o = F
     valid = buf[:F] != 0
-    flags = buf[o:o + a].reshape(F, n_mb)
-    o += a
-    cbp = buf[o:o + a].reshape(F, n_mb)
-    o += a
-    mv16 = jax.lax.bitcast_convert_type(
-        buf[o:o + 4 * a].reshape(F, n_mb, 2, 2), jnp.int16)
-    o += 4 * a
+    run_len = jax.lax.bitcast_convert_type(
+        buf[o:o + 2 * R].reshape(R, 2), jnp.uint16)
+    o += 2 * R
+    run_flags = buf[o:o + R]
+    o += R
+    run_cbp = buf[o:o + R]
+    o += R
+    run_mv = jax.lax.bitcast_convert_type(
+        buf[o:o + 4 * R].reshape(R, 2, 2), jnp.int16)
+    o += 4 * R
     sp_pos = buf[o:o + P]
     o += P
     sp_val = jax.lax.bitcast_convert_type(
         buf[o:o + 2 * P].reshape(P, 2), jnp.int16)
+
+    # expand runs -> per-MB streams (padding runs have length 0; MBs past
+    # the last real run -- only invalid padding frames -- read benign 0s)
+    ends = jnp.cumsum(run_len.astype(jnp.int32))
+    slot = jnp.searchsorted(ends, jnp.arange(F * n_mb, dtype=jnp.int32),
+                            side='right')
+    flags = jnp.take(run_flags, slot, mode='fill',
+                     fill_value=0).reshape(F, n_mb)
+    cbp = jnp.take(run_cbp, slot, mode='fill',
+                   fill_value=0).reshape(F, n_mb)
+    mv16 = jnp.take(run_mv, slot, axis=0, mode='fill',
+                    fill_value=0).reshape(F, n_mb, 2)
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk)
 
@@ -437,31 +456,33 @@ class MPEG1Decoder:
         n = batch['n']
         iq, nq = self._quant_matrices()
         F = self.BATCH_FRAMES
-        n_mb = seq.mb_size
         total = len(batch['sp_pos'])
         bucket = _bucket(max(total, 1))
         n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
-        a = F * n_mb
-        buf = np.empty(F + 6 * a + 3 * bucket, dtype=np.uint8)
+        rt = len(batch['run_len'])
+        n_runs = _bucket(max(rt, 1), lo=256)
+        buf = np.zeros(F + 8 * n_runs + 3 * bucket, dtype=np.uint8)
         buf[:F] = np.arange(F) < n
         o = F
-        buf[o:o + a] = batch['flags'].reshape(-1)
-        o += a
-        buf[o:o + a] = batch['cbp'].reshape(-1)
-        o += a
-        buf[o:o + 4 * a] = batch['mv16'].reshape(-1).view(np.uint8)
-        o += 4 * a
+        buf[o:o + 2 * rt] = batch['run_len'].view(np.uint8)
+        o += 2 * n_runs
+        buf[o:o + rt] = batch['run_flags']
+        o += n_runs
+        buf[o:o + rt] = batch['run_cbp']
+        o += n_runs
+        buf[o:o + 4 * rt] = batch['run_mv'].reshape(-1).view(np.uint8)
+        o += 4 * n_runs
         # padding pairs: bit 6 set (never scattered), bit 7 clear (do not
         # advance the block slot)
         buf[o:o + bucket] = 0x40
         buf[o:o + total] = batch['sp_pos']
         o += bucket
         buf[o:o + 2 * total] = batch['sp_val'].view(np.uint8)
-        buf[o + 2 * total:] = 0
         dev = jax.device_put(buf)
         self._cur, self._fwd, outs = decode_scan_fused(
             self._cur, self._fwd, dev, iq, nq,
-            mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F, n_blk=n_blk)
+            mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F, n_blk=n_blk,
+            n_runs=n_runs)
         return outs
 
     def _dispatch_batch(self, batch):

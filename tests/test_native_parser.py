@@ -91,8 +91,8 @@ def test_seq_info_matches():
 
 
 def test_packed_wire_format_matches_dense():
-    """The packed wire (flags/cbp/mv16 + pos/val pairs with slot flags)
-    reconstructs exactly the dense levels slab."""
+    """The packed wire (RLE flags/cbp/mv runs + pos/val pairs with slot
+    flags) reconstructs exactly the dense levels slab."""
     es, _ = encode_test_stream(96, 64, n_frames=6, seed=7, gop=3)
     pa = native.NativeMPEG1Parser()
     pa.write(es)
@@ -103,18 +103,27 @@ def test_packed_wire_format_matches_dense():
     assert isinstance(packed, dict) and isinstance(dense, dict)
     assert packed['n'] == dense['n']
     n_mb = pa.seq.mb_size
-    # metadata round-trip
-    np.testing.assert_array_equal(packed['flags'] & 31, dense['qscale'] & 31)
-    np.testing.assert_array_equal((packed['flags'] >> 5) & 1, dense['intra'])
-    np.testing.assert_array_equal((packed['flags'] >> 6) & 1, dense['written'])
+    # expand metadata runs (mirror of the device-side expansion)
+    reps = packed['run_len'].astype(np.int64)
+    assert reps.sum() == packed['n'] * n_mb
+    flags = np.repeat(packed['run_flags'], reps)
+    cbp = np.repeat(packed['run_cbp'], reps)
+    mv16 = np.repeat(packed['run_mv'], reps, axis=0)
+    pad = (8 - packed['n']) * n_mb
+    flags = np.concatenate([flags, np.zeros(pad, np.uint8)]).reshape(8, n_mb)
+    cbp = np.concatenate([cbp, np.zeros(pad, np.uint8)]).reshape(8, n_mb)
+    mv16 = np.concatenate([mv16, np.zeros((pad, 2), np.int16)])
+    mv16 = mv16.reshape(8, n_mb, 2)
+    np.testing.assert_array_equal(flags & 31, dense['qscale'] & 31)
+    np.testing.assert_array_equal((flags >> 5) & 1, dense['intra'])
+    np.testing.assert_array_equal((flags >> 6) & 1, dense['written'])
     for b in range(6):
-        np.testing.assert_array_equal((packed['cbp'] >> b) & 1,
-                                      dense['coded'][..., b])
-    np.testing.assert_array_equal(packed['mv16'].astype(np.int32), dense['mv'])
+        np.testing.assert_array_equal((cbp >> b) & 1, dense['coded'][..., b])
+    np.testing.assert_array_equal(mv16.astype(np.int32), dense['mv'])
     # coefficient reconstruction (mirror of the device-side unpack)
     coded_flat = np.zeros((8, n_mb, 6), bool)
     for b in range(6):
-        coded_flat[..., b] = (packed['cbp'] >> b) & 1
+        coded_flat[..., b] = (cbp >> b) & 1
     blk_ids = np.flatnonzero(coded_flat.reshape(-1))
     assert len(blk_ids) == packed['n_blocks']
     slot = np.cumsum(packed['sp_pos'] >> 7) - 1
