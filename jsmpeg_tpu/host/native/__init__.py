@@ -189,6 +189,8 @@ class NativeMPEG1Parser:
                         run_cbp=run_cbp[:rt], run_mv=run_mv[:rt],
                         sp_pos=sp_pos[:total], sp_val=sp_val[:total],
                         n_blocks=int(sp_counts[F + 1]),
+                        pairs_pf=sp_counts[:r].copy(),
+                        runs_pf=run_counts[:r].copy(),
                         pic_types=pic_types)
         qscale = np.zeros((F, n_mb), dtype=np.uint8)
         coded = np.zeros((F, n_mb, 6), dtype=np.uint8)

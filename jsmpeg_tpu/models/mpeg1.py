@@ -151,6 +151,31 @@ def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk)
 
 
+# coefficient-scatter segment size: XLA compile time for one big scatter
+# grows superlinearly with its size (393K pairs ~100 s, 3.1M pairs ~890 s
+# over the tunnel), so larger pair buckets scatter in fixed-size segments
+# under a fori_loop -- the compiled graph holds ONE segment-sized scatter
+SCATTER_SEG = 393216
+
+
+def _scatter_pairs(flat: jnp.ndarray, idx: jnp.ndarray,
+                   val: jnp.ndarray) -> jnp.ndarray:
+    """flat.at[idx].set(val, drop) in SCATTER_SEG-sized segments.  idx is
+    unique-or-out-of-range within a batch, so segment order is free."""
+    P = idx.shape[0]
+    if P <= SCATTER_SEG:
+        return flat.at[idx].set(val, mode='drop')
+    assert P % SCATTER_SEG == 0
+
+    def body(i, f):
+        s = i * SCATTER_SEG
+        ii = jax.lax.dynamic_slice(idx, (s,), (SCATTER_SEG,))
+        vv = jax.lax.dynamic_slice(val, (s,), (SCATTER_SEG,))
+        return f.at[ii].set(vv, mode='drop')
+
+    return jax.lax.fori_loop(0, P // SCATTER_SEG, body, flat)
+
+
 @functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk'))
 def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        cbp: jnp.ndarray, mv16: jnp.ndarray,
@@ -169,15 +194,19 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
     written = (flags & 0x40) != 0
     coded = (cbp[..., None] & (1 << jnp.arange(6, dtype=jnp.uint8))) != 0
     oob = F * n_mb * 6
-    blk_ids = jnp.flatnonzero(coded.reshape(-1), size=n_blk, fill_value=oob)
-    blk_ids = jnp.concatenate([blk_ids, jnp.full((1,), oob, blk_ids.dtype)])
+    # coded-block ids in row-major order, fixed-size formulation (the
+    # scatter is sized by the mask, not by n_blk: one compile shape)
+    mask = coded.reshape(-1)
+    dst = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, n_blk + 1)
+    blk_ids = jnp.full((n_blk + 1,), oob, jnp.int32).at[dst].set(
+        jnp.arange(mask.shape[0], dtype=jnp.int32), mode='drop')
     slot = jnp.cumsum((sp_pos >> 7).astype(jnp.int32)) - 1
     gid = blk_ids[jnp.clip(slot, 0, n_blk)]
     pair_ok = (sp_pos & 0x40) == 0
     idx = jnp.where(pair_ok, gid * 64 + (sp_pos & 63).astype(gid.dtype),
                     oob * 64)
     flat = jnp.zeros((F * n_mb * 6 * 64,), jnp.int16)
-    flat = flat.at[idx].set(sp_val, mode='drop')
+    flat = _scatter_pairs(flat, idx, sp_val)
     stacked = LevelsArrays(
         levels=flat.reshape(F, n_mb, 6, 64), qscale=qscale, coded=coded,
         intra=intra, written=written, mv_h=mv16[..., 0].astype(jnp.int32),
@@ -208,6 +237,88 @@ def _bucket(n: int, lo: int = 4096) -> int:
             return h
         b <<= 1
     return b
+
+
+_POPCOUNT8 = np.array([bin(x).count('1') for x in range(256)], np.int64)
+
+
+def split_packed_batch(batch: dict) -> list:
+    """Split a packed batch into frame groups of <= SCATTER_SEG coefficient
+    pairs each.  Big-pair jit variants compile pathologically slowly over
+    the tunnel (~16 min for 3M pairs vs ~100 s for one segment), so
+    coefficient-dense batches run as several scans of the SAME small
+    variant, threading the reference planes through the carry."""
+    n = batch['n']
+    pairs_pf = batch.get('pairs_pf')
+    if pairs_pf is None or n <= 1 or len(batch['sp_pos']) <= SCATTER_SEG:
+        return [batch]
+    groups = []
+    start, acc = 0, 0
+    for k in range(n):
+        if start < k and acc + int(pairs_pf[k]) > SCATTER_SEG:
+            groups.append((start, k))
+            start, acc = k, 0
+        acc += int(pairs_pf[k])
+    groups.append((start, n))
+    if len(groups) == 1:
+        return [batch]
+    pp = np.concatenate([[0], np.cumsum(pairs_pf)])
+    rr = np.concatenate([[0], np.cumsum(batch['runs_pf'])])
+    out = []
+    for a, b in groups:
+        rl = batch['run_len'][rr[a]:rr[b]]
+        rc = batch['run_cbp'][rr[a]:rr[b]]
+        out.append(dict(
+            n=b - a,
+            run_len=rl,
+            run_flags=batch['run_flags'][rr[a]:rr[b]],
+            run_cbp=rc,
+            run_mv=batch['run_mv'][rr[a]:rr[b]],
+            sp_pos=batch['sp_pos'][pp[a]:pp[b]],
+            sp_val=batch['sp_val'][pp[a]:pp[b]],
+            n_blocks=int((_POPCOUNT8[rc] * rl.astype(np.int64)).sum()),
+            pic_types=batch['pic_types'][a:b]))
+    return out
+
+
+def _pair_bucket(n: int) -> int:
+    """Pair-count bucket: {2^k, 1.5*2^k} below one scatter segment, then
+    whole multiples of SCATTER_SEG (the jit variant holds one segment-
+    sized scatter either way; see _scatter_pairs)."""
+    if n <= SCATTER_SEG:
+        return _bucket(n)
+    return -(-n // SCATTER_SEG) * SCATTER_SEG
+
+
+def build_fused_buffer(batch: dict, n_frames: int):
+    """Assemble the single-upload wire buffer for decode_scan_fused from a
+    packed parse_batch dict.  Returns (buf uint8, n_blk, n_runs) with
+    bucketed static sizes (see decode_scan_fused for the layout)."""
+    F = n_frames
+    n = batch['n']
+    total = len(batch['sp_pos'])
+    bucket = _pair_bucket(max(total, 1))
+    n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
+    rt = len(batch['run_len'])
+    n_runs = _bucket(max(rt, 1), lo=256)
+    buf = np.zeros(F + 8 * n_runs + 3 * bucket, dtype=np.uint8)
+    buf[:F] = np.arange(F) < n
+    o = F
+    buf[o:o + 2 * rt] = batch['run_len'].view(np.uint8)
+    o += 2 * n_runs
+    buf[o:o + rt] = batch['run_flags']
+    o += n_runs
+    buf[o:o + rt] = batch['run_cbp']
+    o += n_runs
+    buf[o:o + 4 * rt] = batch['run_mv'].reshape(-1).view(np.uint8)
+    o += 4 * n_runs
+    # padding pairs: bit 6 set (never scattered), bit 7 clear (do not
+    # advance the block slot)
+    buf[o:o + bucket] = 0x40
+    buf[o:o + total] = batch['sp_pos']
+    o += bucket
+    buf[o:o + 2 * total] = batch['sp_val'].view(np.uint8)
+    return buf, n_blk, n_runs
 
 
 class PlanesBatch:
@@ -390,16 +501,27 @@ class MPEG1Decoder:
         """Decode one picture; returns Planes or None."""
         import time as _time
         t0 = _time.monotonic()
-        fd = self.parser.parse_frame(eof=eof)
-        if fd is None:
-            return None
-        seq = self.parser.seq
-        # explicit transfer: jit-argument conversion is much slower than a
-        # bulk device_put on some PJRT transports
-        arrays = jax.device_put(frame_to_arrays(fd))
-        self._cur, self._fwd, out = decode_one(
-            self._cur, self._fwd, arrays,
-            mb_h=seq.mb_height, mb_w=seq.mb_width)
+        out = None
+        if hasattr(self.parser, 'parse_batch'):
+            # packed single-frame batch: ~2 orders of magnitude less wire
+            # traffic than dense coefficients (the live-streaming hot path)
+            batch = self.parser.parse_batch(1, eof=eof)
+            if batch is None:
+                return None
+            if isinstance(batch, dict):
+                outs = self._dispatch_batch(batch, n_frames=1)
+                out = Planes(outs.y[0], outs.cr[0], outs.cb[0])
+        if out is None:
+            fd = self.parser.parse_frame(eof=eof)
+            if fd is None:
+                return None
+            seq = self.parser.seq
+            # explicit transfer: jit-argument conversion is much slower
+            # than a bulk device_put on some PJRT transports
+            arrays = jax.device_put(frame_to_arrays(fd))
+            self._cur, self._fwd, out = decode_one(
+                self._cur, self._fwd, arrays,
+                mb_h=seq.mb_height, mb_w=seq.mb_width)
         self.advance_decoded_time(1.0 / self.frame_rate)
         if self.streaming:
             self.parser.bits.evict_consumed()
@@ -447,37 +569,15 @@ class MPEG1Decoder:
                  jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)))
         return self._quant_dev
 
-    def _dispatch_packed(self, batch):
+    def _dispatch_packed(self, batch, n_frames=None):
         """Upload one packed batch as a single fused byte buffer and
         dispatch its device scan (async).  One transfer per batch: the
         transport has high per-RPC latency, so round trips dominate small
         uploads."""
         seq = self.parser.seq
-        n = batch['n']
         iq, nq = self._quant_matrices()
-        F = self.BATCH_FRAMES
-        total = len(batch['sp_pos'])
-        bucket = _bucket(max(total, 1))
-        n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
-        rt = len(batch['run_len'])
-        n_runs = _bucket(max(rt, 1), lo=256)
-        buf = np.zeros(F + 8 * n_runs + 3 * bucket, dtype=np.uint8)
-        buf[:F] = np.arange(F) < n
-        o = F
-        buf[o:o + 2 * rt] = batch['run_len'].view(np.uint8)
-        o += 2 * n_runs
-        buf[o:o + rt] = batch['run_flags']
-        o += n_runs
-        buf[o:o + rt] = batch['run_cbp']
-        o += n_runs
-        buf[o:o + 4 * rt] = batch['run_mv'].reshape(-1).view(np.uint8)
-        o += 4 * n_runs
-        # padding pairs: bit 6 set (never scattered), bit 7 clear (do not
-        # advance the block slot)
-        buf[o:o + bucket] = 0x40
-        buf[o:o + total] = batch['sp_pos']
-        o += bucket
-        buf[o:o + 2 * total] = batch['sp_val'].view(np.uint8)
+        F = n_frames or self.BATCH_FRAMES
+        buf, n_blk, n_runs = build_fused_buffer(batch, F)
         dev = jax.device_put(buf)
         self._cur, self._fwd, outs = decode_scan_fused(
             self._cur, self._fwd, dev, iq, nq,
@@ -485,11 +585,11 @@ class MPEG1Decoder:
             n_runs=n_runs)
         return outs
 
-    def _dispatch_batch(self, batch):
+    def _dispatch_batch(self, batch, n_frames=None):
         """Upload one parsed batch (any wire format) and dispatch its
         device scan; returns the stacked Planes output (async)."""
         if 'sp_pos' in batch:
-            return self._dispatch_packed(batch)
+            return self._dispatch_packed(batch, n_frames)
         seq = self.parser.seq
         n = batch['n']
         iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
@@ -533,16 +633,22 @@ class MPEG1Decoder:
                 return True
             if batch is None:
                 return False
-            # dispatch is async: the device transfer + scan of this batch
-            # proceed while the C++ parser (GIL released) runs the next
-            outs = self._dispatch_batch(batch)
+            # dispatch is async: the device transfers + scans of this batch
+            # proceed while the C++ parser (GIL released) runs the next;
+            # coefficient-dense batches split into frame groups so every
+            # jit variant keeps a one-segment scatter
             n = batch['n']
+            groups = (split_packed_batch(batch) if 'sp_pos' in batch
+                      else [batch])
+            dispatched = [(self._dispatch_batch(g, n_frames=None), g['n'])
+                          for g in groups]
             batch = (self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
                      if n == self.BATCH_FRAMES else None)
             for _ in range(n):
                 self.advance_decoded_time(1.0 / self.frame_rate)
-            outs_all.append_batch(PlanesBatch(
-                Planes(outs.y, outs.cr, outs.cb), n))
+            for outs, gn in dispatched:
+                outs_all.append_batch(PlanesBatch(
+                    Planes(outs.y, outs.cr, outs.cb), gn))
 
     def _decode_available_serial(self, eof: bool = False, pad_to: int = 0):
         frames = []

@@ -76,3 +76,12 @@ def test_high_qscale_saturation():
     # large qscale drives dequant clamp paths (+/-2047/2048)
     es, _ = encode_test_stream(48, 32, n_frames=4, seed=8, gop=2, qscale=31)
     assert _compare(es) == 4
+
+
+def test_dense_batch_split_bit_exact(monkeypatch):
+    """Coefficient-dense batches split into frame groups (small scatter
+    variants); the split path must thread the plane carry bit-exactly."""
+    from jsmpeg_tpu.models import mpeg1 as m
+    monkeypatch.setattr(m, 'SCATTER_SEG', 2048)
+    es, _ = encode_test_stream(96, 64, n_frames=8, seed=21, gop=4)
+    assert _compare(es) == 8
