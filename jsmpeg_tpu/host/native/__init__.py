@@ -260,25 +260,31 @@ class NativeMPEG1Parser:
 
 
 class _BitsProxy:
-    """Exposes the bit-index/evict surface the decoder layer uses."""
+    """Exposes the bit-index/evict surface the decoder layer uses, bound
+    to one native object's C-function prefix."""
 
-    def __init__(self, parser: NativeMPEG1Parser):
+    PREFIX = 'mpeg1_parser'
+
+    def __init__(self, parser):
         self._parser = parser
+
+    def _fn(self, name):
+        return getattr(self._parser._lib, self.PREFIX + '_' + name)
 
     @property
     def index(self) -> int:
-        return self._parser._lib.mpeg1_parser_bit_index(self._parser._p)
+        return self._fn('bit_index')(self._parser._p)
 
     @index.setter
     def index(self, v: int) -> None:
-        self._parser._lib.mpeg1_parser_set_bit_index(self._parser._p, v)
+        self._fn('set_bit_index')(self._parser._p, v)
 
     def evict_consumed(self) -> int:
-        return self._parser._lib.mpeg1_parser_evict(self._parser._p)
+        return self._fn('evict')(self._parser._p)
 
     @property
     def byte_length(self) -> int:
-        return self._parser._lib.mpeg1_parser_byte_length(self._parser._p)
+        return self._fn('byte_length')(self._parser._p)
 
 
 class NativeMP2Parser:
@@ -347,21 +353,5 @@ class NativeMP2Parser:
         return _MP2BitsProxy(self)
 
 
-class _MP2BitsProxy:
-    def __init__(self, parser: NativeMP2Parser):
-        self._parser = parser
-
-    @property
-    def index(self) -> int:
-        return self._parser._lib.mp2_decoder_bit_index(self._parser._p)
-
-    @index.setter
-    def index(self, v: int) -> None:
-        self._parser._lib.mp2_decoder_set_bit_index(self._parser._p, v)
-
-    def evict_consumed(self) -> int:
-        return self._parser._lib.mp2_decoder_evict(self._parser._p)
-
-    @property
-    def byte_length(self) -> int:
-        return self._parser._lib.mp2_decoder_byte_length(self._parser._p)
+class _MP2BitsProxy(_BitsProxy):
+    PREFIX = 'mp2_decoder'

@@ -5,6 +5,45 @@
 #pragma once
 
 #include <cstdint>
+#include <cstring>
+#include <vector>
+
+// Growable append-only byte buffer owning the bytes a BitView walks.
+//
+// Padding contract: parsers read *values* (not structure) without bounds
+// checks, so a malformed frame can legitimately walk a few KB past the
+// valid bytes before a structural bound (start-code check, section count,
+// error code) stops it.  PAD zeroed bytes always follow byte_length, so
+// such reads are in-allocation and deterministic (they see zeros, exactly
+// like the Python BitReader's zero-padded numpy buffer).
+struct ByteBuffer {
+  // upper bound on any parser's value-read overrun past the end of valid
+  // data (MP2 worst case: allocation+scfsi+scale factors+sample bits of
+  // one frame ~4.6 KB; MPEG1 block/VLC overruns are far smaller)
+  static constexpr int64_t PAD = 8192;
+
+  std::vector<uint8_t> buf;
+  int64_t byte_length = 0;
+  int64_t bit_index = 0;
+
+  void append(const uint8_t* data, int64_t len) {
+    if (byte_length + len + PAD > (int64_t)buf.size())
+      buf.resize((byte_length + len + PAD) * 2, 0);
+    std::memcpy(buf.data() + byte_length, data, len);
+    byte_length += len;
+    std::memset(buf.data() + byte_length, 0, PAD);
+  }
+
+  int64_t evict() {
+    int64_t pos = bit_index >> 3;
+    if (pos <= 0) return 0;
+    std::memmove(buf.data(), buf.data() + pos, byte_length - pos);
+    byte_length -= pos;
+    bit_index -= pos << 3;
+    std::memset(buf.data() + byte_length, 0, PAD);
+    return pos;
+  }
+};
 
 struct BitView {
   const uint8_t* data = nullptr;

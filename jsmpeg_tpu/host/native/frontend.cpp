@@ -412,10 +412,7 @@ struct PictureParser {
 // Owning parser: buffer management, sequence header, picture discovery.
 // ---------------------------------------------------------------------------
 
-struct Parser {
-  std::vector<uint8_t> buf;
-  int64_t byte_length = 0;
-  int64_t bit_index = 0;
+struct Parser : ByteBuffer {
   SeqInfo seq;
   bool has_seq = false;
   PictureParser serial;     // persistent state for the serial path
@@ -429,12 +426,8 @@ struct Parser {
     n_threads = hc ? (hc > 16 ? 16 : hc) : 4;
   }
 
-  void append(const uint8_t* data, int64_t len) {
-    if (byte_length + len + 8 > (int64_t)buf.size())
-      buf.resize((byte_length + len + 8) * 2, 0);
-    std::memcpy(buf.data() + byte_length, data, len);
-    byte_length += len;
-    std::memset(buf.data() + byte_length, 0, 8);
+  void write(const uint8_t* data, int64_t len) {
+    append(data, len);
     if (!has_seq) try_sequence_header();
   }
 
@@ -756,7 +749,7 @@ void* mpeg1_parser_create() { return new Parser(); }
 void mpeg1_parser_destroy(void* p) { delete (Parser*)p; }
 
 void mpeg1_parser_write(void* p, const uint8_t* data, int64_t len) {
-  ((Parser*)p)->append(data, len);
+  ((Parser*)p)->write(data, len);
 }
 
 int mpeg1_parser_has_seq(void* p) { return ((Parser*)p)->has_seq ? 1 : 0; }
@@ -844,14 +837,7 @@ void mpeg1_parser_set_bit_index(void* p, int64_t idx) {
 }
 
 int64_t mpeg1_parser_evict(void* p) {
-  Parser* ps = (Parser*)p;
-  int64_t pos = ps->bit_index >> 3;
-  if (pos <= 0) return 0;
-  std::memmove(ps->buf.data(), ps->buf.data() + pos,
-               ps->byte_length - pos + 8);
-  ps->byte_length -= pos;
-  ps->bit_index -= pos << 3;
-  return pos;
+  return ((Parser*)p)->evict();
 }
 
 int64_t mpeg1_parser_byte_length(void* p) {

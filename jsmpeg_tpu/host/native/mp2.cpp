@@ -177,30 +177,14 @@ struct QuantSpec {
   int32_t levels, group, bits;
 };
 
-struct MP2Decoder {
-  std::vector<uint8_t> buf;
-  int64_t byte_length = 0;
-  int64_t bit_index = 0;
+// Owns the byte stream via ByteBuffer: its PAD contract covers the worst-
+// case value-read overrun of a malformed frame body (~4.6 KB of
+// allocation/scfsi/scale-factor/sample bits), so corrupt frames parse
+// deterministic zeros instead of stale heap bytes.
+struct MP2Decoder : ByteBuffer {
   int sample_rate = 44100;
   float V[2][1024] = {};
   int v_pos = 0;
-
-  void append(const uint8_t* data, int64_t len) {
-    if (byte_length + len + 8 > (int64_t)buf.size())
-      buf.resize((byte_length + len + 8) * 2, 0);
-    std::memcpy(buf.data() + byte_length, data, len);
-    byte_length += len;
-    std::memset(buf.data() + byte_length, 0, 8);
-  }
-
-  int64_t evict() {
-    int64_t pos = bit_index >> 3;
-    if (pos <= 0) return 0;
-    std::memmove(buf.data(), buf.data() + pos, byte_length - pos + 8);
-    byte_length -= pos;
-    bit_index -= pos << 3;
-    return pos;
-  }
 
   static void read_raw(BitView& b, const QuantSpec* q, int64_t* out) {
     if (!q) {

@@ -123,12 +123,20 @@ class MP2Decoder:
         """Decode one frame -> (left, right) float32[1152] or None."""
         import time as _time
         t0 = _time.monotonic()
-        frame = self.parser.parse_frame()
-        if frame is None:
-            return None
-        self.sample_rate = frame.sample_rate
-        pcm = self._synthesize(frame.samples)
-        left, right = pcm[0], pcm[1]
+        if self.mode == 'exact' and hasattr(self.parser, 'decode_pcm'):
+            # single native call: parse + bit-exact synthesis in C++
+            out = self.parser.decode_pcm()
+            if out is None:
+                return None
+            self.sample_rate = self.parser.sample_rate
+            left, right = out
+        else:
+            frame = self.parser.parse_frame()
+            if frame is None:
+                return None
+            self.sample_rate = frame.sample_rate
+            pcm = self._synthesize(frame.samples)
+            left, right = pcm[0], pcm[1]
         self.advance_decoded_time(1152.0 / self.sample_rate)
         if self.streaming:
             self.parser.bits.evict_consumed()

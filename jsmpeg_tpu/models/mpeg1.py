@@ -592,6 +592,10 @@ class MPEG1Decoder:
             return self._dispatch_packed(batch, n_frames)
         seq = self.parser.seq
         n = batch['n']
+        # F must match the leading axis of the parsed arrays: decode()'s
+        # single-frame fallback arrives here with n_frames=1
+        F = batch['qscale'].shape[0] if 'qscale' in batch else \
+            (n_frames or self.BATCH_FRAMES)
         iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
         nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
         common = dict(
@@ -601,11 +605,11 @@ class MPEG1Decoder:
             written=batch['written'].astype(bool),
             mv_h=np.ascontiguousarray(batch['mv'][..., 0]),
             mv_v=np.ascontiguousarray(batch['mv'][..., 1]),
-            valid=(np.arange(self.BATCH_FRAMES) < n))
+            valid=(np.arange(F) < n))
         if 'sp_idx' in batch:
             total = len(batch['sp_idx'])
             bucket = _bucket(max(total, 1))
-            oob = self.BATCH_FRAMES * seq.mb_size * 6 * 64
+            oob = F * seq.mb_size * 6 * 64
             sp_idx = np.full(bucket, oob, dtype=np.int32)
             sp_val = np.zeros(bucket, dtype=np.int16)
             sp_idx[:total] = batch['sp_idx']

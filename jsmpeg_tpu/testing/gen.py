@@ -117,10 +117,12 @@ def encode_test_stream(w: int, h: int, n_frames: int, seed: int = 0,
                 for cmb in range(mb_w):
                     u = rng.random()
                     # legal MV range keeping reads in-bounds (2px margin)
-                    max_up = min(mv_cap, 2 * (rmb * 16) )
-                    max_down = min(mv_cap, 2 * (ch - rmb * 16 - 16 - 2))
+                    max_up = min(mv_cap, 2 * (rmb * 16))
+                    max_down = max(0, min(mv_cap,
+                                          2 * (ch - rmb * 16 - 16 - 2)))
                     max_left = min(mv_cap, 2 * (cmb * 16))
-                    max_right = min(mv_cap, 2 * (cw - cmb * 16 - 16 - 2))
+                    max_right = max(0, min(mv_cap,
+                                           2 * (cw - cmb * 16 - 16 - 2)))
                     mvh = int(rng.integers(-max_left, max_right + 1))
                     mvv = int(rng.integers(-max_up, max_down + 1))
                     q = int(rng.integers(1, 31)) if rng.random() < 0.05 else None
@@ -213,9 +215,11 @@ def encode_realistic_stream(w: int, h: int, n_frames: int, seed: int = 0,
                 for cmb in range(mb_w):
                     u = rng.random()
                     max_up = min(mv_cap, 2 * (rmb * 16))
-                    max_down = min(mv_cap, 2 * (ch - rmb * 16 - 16 - 2))
+                    max_down = max(0, min(mv_cap,
+                                          2 * (ch - rmb * 16 - 16 - 2)))
                     max_left = min(mv_cap, 2 * (cmb * 16))
-                    max_right = min(mv_cap, 2 * (cw - cmb * 16 - 16 - 2))
+                    max_right = max(0, min(mv_cap,
+                                           2 * (cw - cmb * 16 - 16 - 2)))
                     mvh = int(rng.integers(-max_left, max_right + 1))
                     mvv = int(rng.integers(-max_up, max_down + 1))
                     if u < 0.70:

@@ -85,3 +85,22 @@ def test_dense_batch_split_bit_exact(monkeypatch):
     monkeypatch.setattr(m, 'SCATTER_SEG', 2048)
     es, _ = encode_test_stream(96, 64, n_frames=8, seed=21, gop=4)
     assert _compare(es) == 8
+
+
+def test_single_frame_dense_fallback_bit_exact(monkeypatch):
+    """decode() with a packed->dense overflow fallback (F=1 arrays) must
+    decode, not crash on a leading-axis mismatch (regression)."""
+    pytest.importorskip('jsmpeg_tpu.host.native')
+    from jsmpeg_tpu.host.native import NativeMPEG1Parser
+    monkeypatch.setattr(NativeMPEG1Parser, 'SPARSE_CAP_PER_BLOCK', 1)
+    es, _ = encode_test_stream(96, 64, n_frames=3, seed=2, gop=3)
+    assert _compare(es, use_scan=False) == 3
+
+
+def test_tiny_frame_streams():
+    """1-macroblock-wide/tall streams encode and decode (regression: the
+    generators' motion bounds went negative)."""
+    from jsmpeg_tpu.testing.gen import encode_realistic_stream
+    for enc in (encode_test_stream, encode_realistic_stream):
+        es, _ = enc(16, 16, n_frames=3, seed=5, gop=2)
+        assert _compare(es) == 3
