@@ -142,6 +142,20 @@ class Player:
         self.audio_out.close()
 
     @property
+    def volume(self) -> float:
+        """Output gain 0..1 (the reference's player.volume,
+        src/player.js:143-150)."""
+        return self.audio_out.volume if self.audio_out else 0.0
+
+    @volume.setter
+    def volume(self, v: float) -> None:
+        if self.audio_out:
+            self.audio_out.volume = float(v)
+
+    def set_volume(self, v: float) -> None:
+        self.volume = v
+
+    @property
     def current_time(self) -> float:
         if self.audio is not None and self.audio.can_play:
             return self.audio.current_time

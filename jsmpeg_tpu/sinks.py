@@ -138,6 +138,18 @@ class AudioSinkBase:
     def __init__(self):
         self.sample_rate = 0
         self.samples_played = 0
+        # output gain, 0..1 (the reference's audioOut.volume,
+        # src/webaudio.js / src/player.js:143-150).  Applied by
+        # apply_volume(); exactly 1.0 is a bit-exact passthrough.
+        self.volume = 1.0
+
+    def apply_volume(self, left, right):
+        if self.volume == 1.0:
+            return left, right
+        import numpy as np
+        v = np.float32(self.volume)
+        return (np.asarray(left) * v).astype('float32'), \
+            (np.asarray(right) * v).astype('float32')
 
     def play(self, sample_rate, left, right) -> None:
         raise NotImplementedError
@@ -167,6 +179,7 @@ class PCMCollector(AudioSinkBase):
     def play(self, sample_rate, left, right) -> None:
         self.sample_rate = sample_rate
         self.samples_played += len(left)
+        left, right = self.apply_volume(left, right)
         self.chunks.append((np.asarray(left), np.asarray(right)))
 
     @property
@@ -191,6 +204,7 @@ class WavWriter(AudioSinkBase):
             self._wav.setsampwidth(2)
             self._wav.setframerate(int(sample_rate))
             self.sample_rate = sample_rate
+        left, right = self.apply_volume(left, right)
         lr = np.stack([np.asarray(left), np.asarray(right)], axis=1)
         s16 = np.clip(np.round(lr * 32767.0), -32768, 32767).astype('<i2')
         self._wav.writeframes(s16.tobytes())
@@ -222,6 +236,7 @@ class PacedAudioSink(AudioSinkBase):
         self._start_time += duration
         self.samples_played += len(left)
         if self.downstream is not None:
+            left, right = self.apply_volume(left, right)
             self.downstream.play(sample_rate, left, right)
 
     def reset_enqueued_time(self) -> None:

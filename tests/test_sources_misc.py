@@ -99,3 +99,17 @@ def test_stage_timer():
     with t.time('parse', n=10):
         pass
     assert t.summary()['parse']['count'] == 10
+
+
+def test_volume_property():
+    """player.volume scales PCM in the sink (reference player.js:143-150);
+    volume 1.0 is a bit-exact passthrough."""
+    import numpy as np
+    from jsmpeg_tpu.sinks import PCMCollector
+    a = PCMCollector()
+    l = np.full(8, 0.5, np.float32)
+    a.play(44100, l, l)
+    a.volume = 0.25
+    a.play(44100, l, l)
+    np.testing.assert_array_equal(a.chunks[0][0], l)
+    np.testing.assert_allclose(a.chunks[1][0], l * np.float32(0.25))
