@@ -165,6 +165,26 @@ class MPEG1Parser:
                 return True
         return False
 
+    def seek_iframe(self) -> bool:
+        """Advance to the next I-picture start code at or after the
+        current bit position (GOP-aligned clean resume; the reference
+        seeks to raw bytes and shows artifacts until the next I refresh,
+        src/decoder.js:49-71).  Returns True if one was found."""
+        bits = self.bits
+        while True:
+            code = bits.find_next_start_code()
+            if code == -1:
+                return False
+            if code != T.START_PICTURE:
+                continue
+            saved = bits.index
+            bits.skip(10)
+            pic_type = bits.read(3) if bits.has(3) else 0
+            bits.index = saved
+            if pic_type == T.PIC_I:
+                bits.rewind(32)
+                return True
+
     def parse_frame(self, eof: bool = False) -> Optional[FrameData]:
         """Decode the next picture into dense tensors.
 

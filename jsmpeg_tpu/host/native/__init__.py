@@ -40,6 +40,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + \
         [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
     lib.mpeg1_parser_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.mpeg1_parser_seek_iframe.argtypes = [ctypes.c_void_p]
     lib.mp2_decoder_create.restype = ctypes.c_void_p
     lib.mp2_decoder_destroy.argtypes = [ctypes.c_void_p]
     lib.mp2_decoder_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
@@ -127,6 +128,10 @@ class NativeMPEG1Parser:
 
     def set_threads(self, n: int) -> None:
         self._lib.mpeg1_parser_set_threads(self._p, int(n))
+
+    def seek_iframe(self) -> bool:
+        """Advance to the next I-picture (GOP-aligned clean resume)."""
+        return bool(self._lib.mpeg1_parser_seek_iframe(self._p))
 
     # average coefficients per block the sparse path reserves for;
     # overflow falls back to the dense batch automatically

@@ -840,6 +840,27 @@ int64_t mpeg1_parser_evict(void* p) {
   return ((Parser*)p)->evict();
 }
 
+// Advance bit_index to the next I-picture start code at or after the
+// current position (clean GOP-aligned resume; the reference seeks to raw
+// byte positions and decodes artifacts until the next I refresh,
+// src/decoder.js:49-71 + src/mpeg1.js:51).  Returns 1 if found.
+int mpeg1_parser_seek_iframe(void* p) {
+  Parser* ps = (Parser*)p;
+  BitView b = ps->view();
+  while (true) {
+    int code = b.find_next_start_code();
+    if (code == -1) return 0;
+    if (code != START_PICTURE) continue;
+    BitView pv = b;
+    pv.skip(10);
+    if ((int)pv.read(3) == PIC_I) {
+      // position on the byte holding the start code prefix
+      ps->bit_index = b.index - 32;
+      return 1;
+    }
+  }
+}
+
 int64_t mpeg1_parser_byte_length(void* p) {
   return ((Parser*)p)->byte_length;
 }

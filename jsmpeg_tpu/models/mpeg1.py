@@ -450,7 +450,7 @@ class MPEG1Decoder:
     def current_time(self) -> float:
         return self.decoded_time
 
-    def seek(self, time: float) -> None:
+    def seek(self, time: float, to_iframe: bool = False) -> None:
         if not self.collect_timestamps:
             return
         self.timestamp_index = 0
@@ -465,6 +465,11 @@ class MPEG1Decoder:
         else:
             self.parser.bits.index = 0
             self.decoded_time = self.start_time
+        if to_iframe and hasattr(self.parser, 'seek_iframe'):
+            # snap forward to the next I picture: a clean GOP-aligned
+            # resume (the reference decodes from the raw byte position and
+            # shows artifacts until the next I refresh)
+            self.parser.seek_iframe()
 
     def advance_decoded_time(self, seconds: float) -> None:
         if self.collect_timestamps:

@@ -163,11 +163,14 @@ class Player:
             return self.video.current_time
         return 0.0
 
-    def seek(self, t: float) -> None:
+    def seek(self, t: float, to_iframe: bool = False) -> None:
+        """Seek to a timestamp.  to_iframe=True snaps forward to the next
+        I picture for a clean GOP-aligned resume (no artifacts; the
+        checkpoint unit of SURVEY.md section 5)."""
         start = (self.audio.start_time if self.audio and self.audio.can_play
                  else self.video.start_time if self.video else 0.0)
         if self.video is not None:
-            self.video.seek(t + start)
+            self.video.seek(t + start, to_iframe=to_iframe)
         if self.audio is not None:
             self.audio.seek(t + start)
 

@@ -113,3 +113,34 @@ def test_streaming_push_source():
     golden = OracleMPEG1(es).decode_all()
     for (gy, _, _), (py, _, _) in zip(golden, vc.frames):
         assert np.array_equal(gy, py)
+
+
+def test_seek_to_iframe_clean_resume():
+    """seek(t, to_iframe=True) resumes at a GOP boundary: the first frame
+    decoded after the snap is bit-exact with the oracle's I frame."""
+    import numpy as np
+    from jsmpeg_tpu.host.mpeg1_parse import MPEG1Parser
+    from jsmpeg_tpu.host.native import NativeMPEG1Parser, native_available
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+    es, chunks = encode_test_stream(96, 64, n_frames=9, seed=17, gop=3,
+                                    frame_rate=25.0)
+    golden = OracleMPEG1(es).decode_all()
+    for native in ([True] if native_available() else []) + [False]:
+        dec = MPEG1Decoder({'native': native})
+        # emulate per-frame PES writes with PTS so timestamps collect
+        off = 0
+        for i, c in enumerate(chunks[:-1]):
+            dec.write(i / 25.0, c)
+            off += len(c)
+        dec.write(None, chunks[-1])
+        # seek into the middle of GOP 1 (frames 3..5): snap lands on
+        # frame 6's I picture (the next I at/after the seek point)
+        dec.seek(4.4 / 25.0, to_iframe=True)
+        out = dec.decode(eof=True)
+        got = np.asarray(out.y)
+        matches = [i for i, (gy, _, _) in enumerate(golden)
+                   if np.array_equal(gy, got)]
+        assert matches and all(m % 3 == 0 for m in matches), matches
