@@ -38,7 +38,7 @@ def _load():
         [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
     lib.mpeg1_parser_parse_batch_packed.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int] + \
-        [ctypes.c_void_p] * 8 + [ctypes.c_int64, ctypes.c_void_p]
+        [ctypes.c_void_p] * 9 + [ctypes.c_int64] + [ctypes.c_void_p] * 2
     lib.mpeg1_parser_set_threads.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.mpeg1_parser_seek_iframe.argtypes = [ctypes.c_void_p]
     lib.mp2_decoder_create.restype = ctypes.c_void_p
@@ -172,13 +172,15 @@ class NativeMPEG1Parser:
             run_counts = np.zeros(F + 1, dtype=np.int64)
             pic_types = np.zeros(F, dtype=np.uint8)
             sp_pos = np.empty(F * cap, dtype=np.uint8)
-            sp_val = np.empty(F * cap, dtype=np.int16)
+            sp_v8 = np.empty(F * cap, dtype=np.int8)
+            sp_esc = np.empty(F * (cap // 8), dtype=np.int16)
             sp_counts = np.zeros(F + 2, dtype=np.int64)
+            esc_counts = np.zeros(F + 1, dtype=np.int64)
             r = self._lib.mpeg1_parser_parse_batch_packed(
                 self._p, 1 if eof else 0, F, _ptr(run_len), _ptr(run_flags),
                 _ptr(run_cbp), _ptr(run_mv), _ptr(run_counts),
-                _ptr(pic_types), _ptr(sp_pos), _ptr(sp_val),
-                cap, _ptr(sp_counts))
+                _ptr(pic_types), _ptr(sp_pos), _ptr(sp_v8), _ptr(sp_esc),
+                cap, _ptr(sp_counts), _ptr(esc_counts))
             if r == -3:
                 self._lib.mpeg1_parser_set_bit_index(self._p, saved_index)
                 return self.parse_batch(max_frames, eof, sparse=False,
@@ -190,12 +192,15 @@ class NativeMPEG1Parser:
             self.frames_parsed += r
             total = int(sp_counts[F])
             rt = int(run_counts[F])
+            et = int(esc_counts[F])
             return dict(n=r, run_len=run_len[:rt], run_flags=run_flags[:rt],
                         run_cbp=run_cbp[:rt], run_mv=run_mv[:rt],
-                        sp_pos=sp_pos[:total], sp_val=sp_val[:total],
+                        sp_pos=sp_pos[:total], sp_v8=sp_v8[:total],
+                        sp_esc=sp_esc[:et],
                         n_blocks=int(sp_counts[F + 1]),
                         pairs_pf=sp_counts[:r].copy(),
                         runs_pf=run_counts[:r].copy(),
+                        escs_pf=esc_counts[:r].copy(),
                         pic_types=pic_types)
         qscale = np.zeros((F, n_mb), dtype=np.uint8)
         coded = np.zeros((F, n_mb, 6), dtype=np.uint8)

@@ -74,11 +74,18 @@ struct FrameOut {
   int64_t sp_count = 0;       // filled by the parser
   int64_t sp_base = 0;        // frame offset in the batch-global index
   bool sp_overflow = false;
-  // packed coefficient mode (3 bytes/coefficient on the wire): sp_pos
+  // packed coefficient mode (~2 bytes/coefficient on the wire): sp_pos
   // replaces sp_idx; bit 7 = first pair of a coded block, bit 6 = slot-
   // advancing marker for a coded block with no nonzero level (the device
-  // reconstructs global indices from the cbp bitmap + these flags)
+  // reconstructs global indices from the cbp bitmap + these flags).
+  // Values ride as int8 (sp_v8); -128 is an escape sentinel whose real
+  // int16 value goes to the sp_esc side stream (capped at sp_cap/8;
+  // overflow falls back to the dense batch like a pair overflow).
   uint8_t* sp_pos = nullptr;
+  int8_t* sp_v8 = nullptr;
+  int16_t* sp_esc = nullptr;
+  int64_t esc_cap = 0;
+  int64_t esc_count = 0;
 };
 
 // Parses pictures; owns the per-slice/MB state and the persistent
@@ -344,14 +351,23 @@ struct PictureParser {
           if (!v) continue;
           if (out.sp_count >= out.sp_cap) { out.sp_overflow = true; return; }
           out.sp_pos[out.sp_count] = (uint8_t)i | first;
-          out.sp_val[out.sp_count] = v;
+          if (v >= -127 && v <= 127) {
+            out.sp_v8[out.sp_count] = (int8_t)v;
+          } else {
+            if (out.esc_count >= out.esc_cap) {
+              out.sp_overflow = true;
+              return;
+            }
+            out.sp_v8[out.sp_count] = -128;
+            out.sp_esc[out.esc_count++] = v;
+          }
           out.sp_count++;
           first = 0;
         }
         if (first) {
           if (out.sp_count >= out.sp_cap) { out.sp_overflow = true; return; }
           out.sp_pos[out.sp_count] = 0xC0;
-          out.sp_val[out.sp_count] = 0;
+          out.sp_v8[out.sp_count] = 0;
           out.sp_count++;
         }
         return;
@@ -562,9 +578,10 @@ struct Parser : ByteBuffer {
   // qscale|intra<<5|written<<6, cbp u8 bit b = block b coded, mv int16
   // pairs, run lengths u16 never crossing a picture boundary (8 B/run;
   // skip-dominated P pictures collapse to a handful of runs).
-  // Coefficients go out as (pos u8, val i16) pairs with slot flags (see
-  // FrameOut::sp_pos).  sp_counts needs max_frames+2 slots (total pairs,
-  // total coded blocks); run_counts needs max_frames+1 (total runs last).
+  // Coefficients go out as (pos u8, val i8) pairs with slot flags (see
+  // FrameOut::sp_pos) plus an int16 escape side stream for |val| > 127.
+  // sp_counts needs max_frames+2 slots (total pairs, total coded blocks);
+  // run_counts and esc_counts need max_frames+1 (totals last).
   int parse_batch(bool eof, int max_frames, int64_t n_mb_stride,
                   int16_t* levels, uint8_t* qscale, uint8_t* coded,
                   uint8_t* intra, uint8_t* written, int32_t* mv,
@@ -573,7 +590,9 @@ struct Parser : ByteBuffer {
                   uint16_t* run_len = nullptr, uint8_t* run_flags = nullptr,
                   uint8_t* run_cbp = nullptr, int16_t* run_mv = nullptr,
                   int64_t* run_counts = nullptr,
-                  uint8_t* sp_pos = nullptr) {
+                  uint8_t* sp_pos = nullptr, int8_t* sp_v8 = nullptr,
+                  int16_t* sp_esc = nullptr,
+                  int64_t* esc_counts = nullptr) {
     if (!has_seq) return 0;
     // the serial scratch must be clean, else its state can't transfer
     if (serial.bd_dirty) return -1;
@@ -635,8 +654,10 @@ struct Parser : ByteBuffer {
           pp.out.written = w_s.data();
           pp.out.mv = mv_s.data();
           pp.out.sp_pos = sp_pos + (int64_t)k * sp_cap_per_frame;
-          pp.out.sp_val = sp_val + (int64_t)k * sp_cap_per_frame;
+          pp.out.sp_v8 = sp_v8 + (int64_t)k * sp_cap_per_frame;
           pp.out.sp_cap = sp_cap_per_frame;
+          pp.out.sp_esc = sp_esc + (int64_t)k * (sp_cap_per_frame / 8);
+          pp.out.esc_cap = sp_cap_per_frame / 8;
         } else {
           pp.out.qscale = qscale + (int64_t)k * n_mb_stride;
           pp.out.coded = coded + (int64_t)k * n_mb_stride * 6;
@@ -654,6 +675,7 @@ struct Parser : ByteBuffer {
         pic_types[k] = (uint8_t)pp.pic_type;
         if (!produced) pic_types[k] = 0;     // shouldn't happen (classified)
         if (sparse) sp_counts[k] = pp.out.sp_count;
+        if (packed) esc_counts[k] = pp.out.esc_count;
         if (packed) {
           // run-length encode the (flags, cbp, mv) tuple stream of this
           // picture into its run segment (worst case n_mb runs)
@@ -707,19 +729,25 @@ struct Parser : ByteBuffer {
     if (sparse) {
       // compact per-picture segments into a contiguous prefix
       int64_t total = sp_counts[0];
+      int64_t esc_total = packed ? esc_counts[0] : 0;
       for (int k = 1; k < n; k++) {
-        if (packed)
-          std::memmove(sp_pos + total, sp_pos + (int64_t)k * sp_cap_per_frame,
-                       sp_counts[k]);
-        else
-          std::memmove(sp_idx + total, sp_idx + (int64_t)k * sp_cap_per_frame,
-                       sp_counts[k] * 4);
-        std::memmove(sp_val + total, sp_val + (int64_t)k * sp_cap_per_frame,
-                     sp_counts[k] * 2);
+        int64_t off = (int64_t)k * sp_cap_per_frame;
+        if (packed) {
+          std::memmove(sp_pos + total, sp_pos + off, sp_counts[k]);
+          std::memmove(sp_v8 + total, sp_v8 + off, sp_counts[k]);
+          std::memmove(sp_esc + esc_total,
+                       sp_esc + (int64_t)k * (sp_cap_per_frame / 8),
+                       esc_counts[k] * 2);
+          esc_total += esc_counts[k];
+        } else {
+          std::memmove(sp_idx + total, sp_idx + off, sp_counts[k] * 4);
+          std::memmove(sp_val + total, sp_val + off, sp_counts[k] * 2);
+        }
         total += sp_counts[k];
       }
       sp_counts[max_frames] = total;   // caller-provided extra slot
       if (packed) {
+        esc_counts[max_frames] = esc_total;
         sp_counts[max_frames + 1] = total_blocks.load();
         int64_t rtotal = run_counts[0];
         for (int k = 1; k < n; k++) {
@@ -817,14 +845,14 @@ int mpeg1_parser_parse_batch_sparse(
 int mpeg1_parser_parse_batch_packed(
     void* p, int eof, int max_frames, uint16_t* run_len, uint8_t* run_flags,
     uint8_t* run_cbp, int16_t* run_mv, int64_t* run_counts,
-    uint8_t* pic_types, uint8_t* sp_pos, int16_t* sp_val,
-    int64_t sp_cap_per_frame, int64_t* sp_counts) {
+    uint8_t* pic_types, uint8_t* sp_pos, int8_t* sp_v8, int16_t* sp_esc,
+    int64_t sp_cap_per_frame, int64_t* sp_counts, int64_t* esc_counts) {
   Parser* ps = (Parser*)p;
   return ps->parse_batch(eof != 0, max_frames, ps->seq.mb_size, nullptr,
                          nullptr, nullptr, nullptr, nullptr, nullptr,
-                         pic_types, nullptr, sp_val, sp_cap_per_frame,
+                         pic_types, nullptr, nullptr, sp_cap_per_frame,
                          sp_counts, run_len, run_flags, run_cbp, run_mv,
-                         run_counts, sp_pos);
+                         run_counts, sp_pos, sp_v8, sp_esc, esc_counts);
 }
 
 void mpeg1_parser_set_threads(void* p, int n) {

@@ -25,7 +25,8 @@ int mpeg1_parser_parse_frame(void*, int, int32_t*, uint8_t*, uint8_t*,
                              uint8_t*, int32_t*, int64_t*);
 int mpeg1_parser_parse_batch_packed(void*, int, int, uint16_t*, uint8_t*,
                                     uint8_t*, int16_t*, int64_t*, uint8_t*,
-                                    uint8_t*, int16_t*, int64_t, int64_t*);
+                                    uint8_t*, int8_t*, int16_t*, int64_t,
+                                    int64_t*, int64_t*);
 void mpeg1_parser_set_threads(void*, int);
 int64_t mpeg1_parser_evict(void*);
 
@@ -74,13 +75,14 @@ int main(int argc, char** argv) {
     std::vector<int16_t> rm(F * n_mb * 2);
     std::vector<int64_t> rcounts(F + 1);
     std::vector<uint8_t> pt(F), sp_pos(F * cap);
-    std::vector<int16_t> sp_val(F * cap);
-    std::vector<int64_t> sp_counts(F + 2);
+    std::vector<int8_t> sp_v8(F * cap);
+    std::vector<int16_t> sp_esc(F * (cap / 8));
+    std::vector<int64_t> sp_counts(F + 2), esc_counts(F + 1);
     int eof = off + 1000 > ves.size();
     int r = mpeg1_parser_parse_batch_packed(
         p, eof, F, rl.data(), rf.data(), rc.data(), rm.data(),
-        rcounts.data(), pt.data(), sp_pos.data(), sp_val.data(), cap,
-        sp_counts.data());
+        rcounts.data(), pt.data(), sp_pos.data(), sp_v8.data(),
+        sp_esc.data(), cap, sp_counts.data(), esc_counts.data());
     if (r > 0) frames += r;
     mpeg1_parser_evict(p);
   }

@@ -113,12 +113,15 @@ def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links):
     [valid F][run_len LE u16 2R][run_flags R][run_cbp R][run_mv LE i16 4R]
-    [sp_pos P][sp_val LE i16 2P], P = (len-F-8R)//3.  Per-MB metadata is
-    run-length encoded over (flags, cbp, mv) tuples; runs expand on device
-    via cumsum + searchsorted."""
+    [sp_pos P][sp_v8 i8 P][sp_esc LE i16 2*(P//8)], so
+    P = (len-F-8R)*4//9.  Per-MB metadata is run-length encoded over
+    (flags, cbp, mv) tuples; runs expand on device via cumsum +
+    searchsorted.  Coefficient values ride as int8 with -128 escaping to
+    the int16 side stream (~2 B/coefficient on the wire)."""
     F, n_mb = n_frames, mb_h * mb_w
     R = n_runs
-    P = (buf.shape[0] - F - 8 * R) // 3
+    P = (buf.shape[0] - F - 8 * R) * 4 // 9
+    E = P // 8
     o = F
     valid = buf[:F] != 0
     run_len = jax.lax.bitcast_convert_type(
@@ -133,8 +136,13 @@ def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
     o += 4 * R
     sp_pos = buf[o:o + P]
     o += P
-    sp_val = jax.lax.bitcast_convert_type(
-        buf[o:o + 2 * P].reshape(P, 2), jnp.int16)
+    sp_v8 = jax.lax.bitcast_convert_type(buf[o:o + P], jnp.int8)
+    o += P
+    sp_esc = jax.lax.bitcast_convert_type(
+        buf[o:o + 2 * E].reshape(E, 2), jnp.int16)
+    is_esc = sp_v8 == -128
+    eslot = jnp.clip(jnp.cumsum(is_esc.astype(jnp.int32)) - 1, 0, E - 1)
+    sp_val = jnp.where(is_esc, sp_esc[eslot], sp_v8.astype(jnp.int16))
 
     # expand runs -> per-MB streams (padding runs have length 0; MBs past
     # the last real run -- only invalid padding frames -- read benign 0s)
@@ -264,6 +272,7 @@ def split_packed_batch(batch: dict) -> list:
         return [batch]
     pp = np.concatenate([[0], np.cumsum(pairs_pf)])
     rr = np.concatenate([[0], np.cumsum(batch['runs_pf'])])
+    ee = np.concatenate([[0], np.cumsum(batch['escs_pf'])])
     out = []
     for a, b in groups:
         rl = batch['run_len'][rr[a]:rr[b]]
@@ -275,7 +284,8 @@ def split_packed_batch(batch: dict) -> list:
             run_cbp=rc,
             run_mv=batch['run_mv'][rr[a]:rr[b]],
             sp_pos=batch['sp_pos'][pp[a]:pp[b]],
-            sp_val=batch['sp_val'][pp[a]:pp[b]],
+            sp_v8=batch['sp_v8'][pp[a]:pp[b]],
+            sp_esc=batch['sp_esc'][ee[a]:ee[b]],
             n_blocks=int((_POPCOUNT8[rc] * rl.astype(np.int64)).sum()),
             pic_types=batch['pic_types'][a:b]))
     return out
@@ -297,11 +307,15 @@ def build_fused_buffer(batch: dict, n_frames: int):
     F = n_frames
     n = batch['n']
     total = len(batch['sp_pos'])
+    n_esc = len(batch['sp_esc'])
     bucket = _pair_bucket(max(total, 1))
+    while bucket // 8 < n_esc:        # escape stream must fit its P//8 cap
+        bucket = _pair_bucket(bucket + 1)
     n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
     rt = len(batch['run_len'])
     n_runs = _bucket(max(rt, 1), lo=256)
-    buf = np.zeros(F + 8 * n_runs + 3 * bucket, dtype=np.uint8)
+    buf = np.zeros(F + 8 * n_runs + 2 * bucket + 2 * (bucket // 8),
+                   dtype=np.uint8)
     buf[:F] = np.arange(F) < n
     o = F
     buf[o:o + 2 * rt] = batch['run_len'].view(np.uint8)
@@ -313,11 +327,13 @@ def build_fused_buffer(batch: dict, n_frames: int):
     buf[o:o + 4 * rt] = batch['run_mv'].reshape(-1).view(np.uint8)
     o += 4 * n_runs
     # padding pairs: bit 6 set (never scattered), bit 7 clear (do not
-    # advance the block slot)
+    # advance the block slot); padding values 0 (not the escape sentinel)
     buf[o:o + bucket] = 0x40
     buf[o:o + total] = batch['sp_pos']
     o += bucket
-    buf[o:o + 2 * total] = batch['sp_val'].view(np.uint8)
+    buf[o:o + total] = batch['sp_v8'].view(np.uint8)
+    o += bucket
+    buf[o:o + 2 * n_esc] = batch['sp_esc'].view(np.uint8)
     return buf, n_blk, n_runs
 
 

@@ -131,5 +131,11 @@ def test_packed_wire_format_matches_dense():
     levels = np.zeros((8, n_mb, 6, 64), np.int16)
     flat = levels.reshape(-1)
     gid = blk_ids[slot[ok]]
-    flat[gid * 64 + (packed['sp_pos'][ok] & 63)] = packed['sp_val'][ok]
+    # reconstruct values: int8 stream with -128 escaping to the side stream
+    v8 = packed['sp_v8'].astype(np.int16)
+    esc_mask = packed['sp_v8'] == -128
+    assert esc_mask.sum() == len(packed['sp_esc'])
+    vals = v8.copy()
+    vals[esc_mask] = packed['sp_esc']
+    flat[gid * 64 + (packed['sp_pos'][ok] & 63)] = vals[ok]
     np.testing.assert_array_equal(levels, dense['levels'])
