@@ -90,6 +90,7 @@ def main(argv=None) -> int:
             'ts_packets': p.demuxer.packets_parsed,
             'resolution': (f'{p.video.seq.width}x{p.video.seq.height}'
                            if p.video and p.video.seq else None),
+            'stages': p.metrics.summary(),
         }
         print(json.dumps(stats))
     return 0

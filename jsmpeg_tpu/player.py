@@ -69,11 +69,28 @@ class Player:
         self.demuxer = TSDemuxer()
         self.source.connect(self.demuxer)
 
+        # structured per-stage counters (SURVEY.md section 5): decode-time
+        # callbacks feed the timer, then the user's own callbacks
+        from .metrics import StageTimer
+        self.metrics = StageTimer()
+
+        def _vcb(dec, dt, _user=cfg.on_video_decode):
+            self.metrics.seconds['video_decode'] += dt
+            self.metrics.counts['video_decode'] += 1
+            if _user:
+                _user(dec, dt)
+
+        def _acb(dec, dt, _user=cfg.on_audio_decode):
+            self.metrics.seconds['audio_decode'] += dt
+            self.metrics.counts['audio_decode'] += 1
+            if _user:
+                _user(dec, dt)
+
         opts = {'streaming': self.streaming,
                 'videoBufferSize': cfg.video_buffer_size,
                 'audioBufferSize': cfg.audio_buffer_size,
-                'onVideoDecode': cfg.on_video_decode,
-                'onAudioDecode': cfg.on_audio_decode}
+                'onVideoDecode': _vcb,
+                'onAudioDecode': _acb}
         self.video: Optional[MPEG1Decoder] = None
         self.audio: Optional[MP2Decoder] = None
         self.renderer = renderer if renderer is not None else NullVideoSink()
@@ -283,11 +300,15 @@ class Player:
         self.demuxer.flush()
         n_video = n_audio = 0
         if self.video is not None:
-            frames = self.video.decode_available(eof=True)
+            with self.metrics.time('video_batch'):
+                frames = self.video.decode_available(eof=True)
             n_video = len(frames) if frames else 0
+            self.metrics.add('video_batch', n_video - 1)
         if self.audio is not None:
-            pcm = self.audio.decode_available()
+            with self.metrics.time('audio_batch'):
+                pcm = self.audio.decode_available()
             n_audio = pcm.shape[0] if pcm is not None else 0
+            self.metrics.add('audio_batch', n_audio - 1)
         if self.cfg.on_ended:
             self.cfg.on_ended(self)
         return n_video, n_audio
