@@ -154,20 +154,25 @@ def _tiled_step(carry, f: FrameArrays, mb_h_local: int, mb_w: int,
     return (new_cur, out), out
 
 
+def _pad_mb_rows(x: np.ndarray, mb_h: int, mb_w: int,
+                 mb_h_pad: int) -> np.ndarray:
+    """Reshape a [G, F, mb_h*mb_w, ...] MB axis and zero-pad MB rows;
+    arrays without an MB axis (e.g. 'valid') pass through."""
+    if x.ndim < 3 or x.shape[2] != mb_h * mb_w:
+        return x
+    lead = x.shape[:2]
+    rest = x.shape[3:]
+    x = x.reshape(lead + (mb_h, mb_w) + rest)
+    pad = [(0, 0)] * x.ndim
+    pad[2] = (0, mb_h_pad - mb_h)
+    x = np.pad(x, pad)
+    return x.reshape(lead + (mb_h_pad * mb_w,) + rest)
+
+
 def _pad_rows(stacked: FrameArrays, mb_h: int, mb_w: int,
               mb_h_pad: int) -> FrameArrays:
-    """Reshape the MB axis to [.., mb_h, mb_w, ..] and zero-pad MB rows."""
-    def fix(x):
-        if x.ndim < 3 or x.shape[2] != mb_h * mb_w:
-            return x                      # 'valid' etc.
-        lead = x.shape[:2]
-        rest = x.shape[3:]
-        x = x.reshape(lead + (mb_h, mb_w) + rest)
-        pad = [(0, 0)] * x.ndim
-        pad[2] = (0, mb_h_pad - mb_h)
-        x = np.pad(x, pad)
-        return x.reshape(lead + (mb_h_pad * mb_w,) + rest)
-    return FrameArrays(*[fix(np.asarray(v)) for v in stacked])
+    return FrameArrays(*[_pad_mb_rows(np.asarray(v), mb_h, mb_w, mb_h_pad)
+                         for v in stacked])
 
 
 @functools.partial(jax.jit, static_argnames=('mb_h_pad', 'mb_w', 'halo_mb',
@@ -226,6 +231,148 @@ def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
     stacked = _pad_rows(stacked, mb_h, mb_w, mb_h_pad)
     halo = halo_mb_rows(f_code)
     outs = decode_gops_tiled(stacked, mb_h_pad, mb_w, halo, mb_h_pad, mesh)
+    result = []
+    rows = mb_h * 16
+    for gi, gop in enumerate(gops):
+        for fi in range(len(gop)):
+            result.append(Planes(outs.y[gi, fi][:rows],
+                                 outs.cr[gi, fi][:rows >> 1],
+                                 outs.cb[gi, fi][:rows >> 1]))
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Levels-wire variant: raw int16 VLC levels shard over the mesh and
+# dequantize on device (half the host->device bytes of int32 coefficients,
+# and the same device-side integer dequant the single-chip pipeline runs).
+# ---------------------------------------------------------------------------
+
+def _levels_step(carry, la, intra_q, non_intra_q, mb_h_local: int,
+                 mb_w: int, halo_mb: int, mb_h_total: int, axis: str):
+    from ..ops.frame import levels_to_frame
+    f = levels_to_frame(la, intra_q, non_intra_q)
+    return _tiled_step(carry, f, mb_h_local, mb_w, halo_mb, mb_h_total,
+                       axis)
+
+
+@functools.partial(jax.jit, static_argnames=('mb_h_pad', 'mb_w', 'halo_mb',
+                                             'mb_h_total', 'mesh'))
+def decode_gops_tiled_levels(stacked, intra_q: jnp.ndarray,
+                             non_intra_q: jnp.ndarray, mb_h_pad: int,
+                             mb_w: int, halo_mb: int, mb_h_total: int,
+                             mesh: Mesh):
+    """stacked: LevelsArrays [G, F, mb_h_pad*mb_w, ...]; G shards over
+    'gop', MB rows over 'tile'; dequant+premultiply run on device inside
+    each shard (quant matrices replicate)."""
+    from ..ops.frame import LevelsArrays
+    n_tile = mesh.shape['tile']
+    mb_h_local = mb_h_pad // n_tile
+    cw = mb_w * 16
+    rows_local = mb_h_local * 16
+
+    def local(frames, iq, nq):
+        def one_gop(fr):
+            z = lambda h, w: jnp.zeros((h, w), dtype=jnp.uint8)
+            state = (Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
+                            z(rows_local >> 1, cw >> 1)),
+                     Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
+                            z(rows_local >> 1, cw >> 1)))
+            state = _pvary(state, ('gop', 'tile'))
+            step = functools.partial(
+                _levels_step, intra_q=_pvary(iq, ('gop', 'tile')),
+                non_intra_q=_pvary(nq, ('gop', 'tile')),
+                mb_h_local=mb_h_local, mb_w=mb_w, halo_mb=halo_mb,
+                mb_h_total=mb_h_total, axis='tile')
+            _, outs = jax.lax.scan(step, state, fr)
+            return outs
+
+        return jax.vmap(one_gop)(frames)
+
+    spec_mb = P('gop', None, 'tile')
+    in_specs = (LevelsArrays(
+        levels=spec_mb, qscale=spec_mb, coded=spec_mb, intra=spec_mb,
+        written=spec_mb, mv_h=spec_mb, mv_v=spec_mb, valid=P('gop')),
+        P(), P())
+    out_specs = Planes(P('gop', None, 'tile'), P('gop', None, 'tile'),
+                       P('gop', None, 'tile'))
+    fn = shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return fn(stacked, intra_q, non_intra_q)
+
+
+def parse_levels_frames(es_or_parser, eof: bool = True):
+    """Parse a stream into per-frame dense-levels dicts via the native
+    batch parser (falls back to the Python parser's FrameData contract by
+    raising if unavailable).  Returns (seq, [frame dicts])."""
+    from ..host import best_parser
+    if isinstance(es_or_parser, (bytes, bytearray, memoryview)):
+        parser = best_parser()
+        parser.write(bytes(es_or_parser))
+    else:
+        parser = es_or_parser
+    frames = []
+    while True:
+        b = parser.parse_batch(32, eof=eof, sparse=False, packed=False)
+        if b == 'fallback':
+            raise RuntimeError('stream needs the serial-exact path; '
+                               'use decode_tiled (FrameData) instead')
+        if b is None:
+            break
+        for i in range(b['n']):
+            frames.append(dict(
+                levels=b['levels'][i], qscale=b['qscale'][i],
+                coded=b['coded'][i], intra=b['intra'][i],
+                written=b['written'][i], mv=b['mv'][i],
+                pic_type=int(b['pic_types'][i])))
+        if b['n'] < 32:
+            break
+    return parser.seq, frames
+
+
+def decode_tiled_levels(es: bytes, mesh: Mesh,
+                        f_code: int = 2) -> List[Planes]:
+    """Driver for the levels-wire sharded decode: parse (C++ batch), split
+    GOPs, stack [G, F, ...], shard over ('gop','tile'), decode."""
+    from ..ops.frame import LevelsArrays
+
+    seq, frames = parse_levels_frames(es)
+    mb_h, mb_w = seq.mb_height, seq.mb_width
+    n_mb = mb_h * mb_w
+    gops: List[list] = []
+    for f in frames:
+        if f['pic_type'] == 1 or not gops:
+            gops.append([])
+        gops[-1].append(f)
+    n_gop = mesh.shape['gop']
+    n_tile = mesh.shape['tile']
+    g = max(1, -(-len(gops) // n_gop)) * n_gop
+    fmax = max(len(x) for x in gops)
+
+    def stack_field(name, dtype, shape):
+        out = np.zeros((g, fmax) + shape, dtype=dtype)
+        for gi, gop in enumerate(gops):
+            for fi, fr in enumerate(gop):
+                out[gi, fi] = fr[name]
+        return out
+
+    stacked = LevelsArrays(
+        levels=stack_field('levels', np.int16, (n_mb, 6, 64)),
+        qscale=stack_field('qscale', np.uint8, (n_mb,)),
+        coded=stack_field('coded', bool, (n_mb, 6)),
+        intra=stack_field('intra', bool, (n_mb,)),
+        written=stack_field('written', bool, (n_mb,)),
+        mv_h=stack_field('mv', np.int32, (n_mb, 2))[..., 0],
+        mv_v=stack_field('mv', np.int32, (n_mb, 2))[..., 1],
+        valid=np.array([[fi < len(gops[gi]) if gi < len(gops) else False
+                         for fi in range(fmax)] for gi in range(g)]))
+    mb_h_pad = -(-mb_h // n_tile) * n_tile
+    stacked = LevelsArrays(*[
+        _pad_mb_rows(np.asarray(v), mb_h, mb_w, mb_h_pad)
+        for v in stacked])
+    halo = halo_mb_rows(f_code)
+    iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
+    nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
+    outs = decode_gops_tiled_levels(stacked, iq, nq, mb_h_pad, mb_w, halo,
+                                    mb_h_pad, mesh)
     result = []
     rows = mb_h * 16
     for gi, gop in enumerate(gops):

@@ -65,3 +65,32 @@ def test_halo_sizing():
     assert halo_mb_rows(2) == 2
     assert halo_mb_rows(3) == 3
     assert halo_mb_rows(4) == 5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_tiles_levels_wire_match_serial():
+    """The levels-wire sharded decode (device-side dequant under
+    shard_map) matches the serial scan bit-exactly."""
+    from jsmpeg_tpu.parallel.tiles import decode_tiled_levels
+    es, _ = encode_test_stream(64, 128, n_frames=8, seed=45, gop=4,
+                               f_code=2)
+    mesh = make_mesh(n_gop=2, n_tile=4)
+    par = decode_tiled_levels(es, mesh, f_code=2)
+    ser = _serial(es)
+    assert len(par) == len(ser) == 8
+    for i, (a, b) in enumerate(zip(par, ser)):
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y)), f'frame {i}'
+        assert np.array_equal(np.asarray(a.cr), np.asarray(b.cr)), f'{i} cr'
+        assert np.array_equal(np.asarray(a.cb), np.asarray(b.cb)), f'{i} cb'
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_tiles_levels_wire_custom_matrices():
+    from jsmpeg_tpu.parallel.tiles import decode_tiled_levels
+    es, _ = encode_test_stream(64, 96, n_frames=6, seed=47, gop=3,
+                               f_code=1, custom_matrices=True)
+    mesh = make_mesh(n_gop=4, n_tile=2)
+    par = decode_tiled_levels(es, mesh, f_code=1)
+    ser = _serial(es)
+    for i, (a, b) in enumerate(zip(par, ser)):
+        assert np.array_equal(np.asarray(a.y), np.asarray(b.y)), f'frame {i}'
