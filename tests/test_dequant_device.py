@@ -72,3 +72,30 @@ def test_dequant_custom_matrices():
             exp = _host_dequant(levels[m, b], int(qscale[m]), bool(intra[m]),
                                 iq if intra[m] else nq)
             np.testing.assert_array_equal(got[m, b], exp)
+
+
+def test_pallas_dequant_idct_bit_exact():
+    """The Pallas fused dequant+IDCT kernel matches the XLA path exactly
+    (interpret mode here; the same kernel is Mosaic-verified on TPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jsmpeg_tpu.ops.idct import dequant_premult, idct_s32
+    from jsmpeg_tpu.ops.idct_pallas import dequant_idct_pallas
+
+    rng = np.random.default_rng(3)
+    n_mb = 30
+    levels = rng.integers(-255, 256, (n_mb, 6, 64)).astype(np.int32)
+    levels[rng.random((n_mb, 6, 64)) < 0.7] = 0
+    levels[:, :, 0] = rng.integers(0, 2048, (n_mb, 6))
+    qscale = rng.integers(1, 32, n_mb).astype(np.int32)
+    intra = rng.random(n_mb) < 0.5
+    iq = rng.integers(1, 255, 64).astype(np.int32)
+    nq = rng.integers(1, 255, 64).astype(np.int32)
+    ref = idct_s32(dequant_premult(
+        jnp.asarray(levels), jnp.asarray(qscale), jnp.asarray(intra),
+        jnp.asarray(iq), jnp.asarray(nq)).reshape(-1, 6, 8, 8))
+    got = dequant_idct_pallas(
+        jnp.asarray(levels), jnp.asarray(qscale), jnp.asarray(intra),
+        jnp.asarray(iq), jnp.asarray(nq), interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ref).reshape(n_mb, 6, 64), np.asarray(got))
