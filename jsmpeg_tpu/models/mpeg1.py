@@ -372,6 +372,11 @@ class FrameSeq:
         self._chunks.append(planes)
         self._len += 1
 
+    def count_only(self, n: int) -> None:
+        """Record frames that were already consumed (rendered + released)
+        without retaining their device arrays."""
+        self._len += n
+
     def __len__(self) -> int:
         return self._len
 
@@ -556,24 +561,39 @@ class MPEG1Decoder:
     # number of compiled variants small)
     BATCH_FRAMES = 32
 
-    def decode_available(self, eof: bool = False, pad_to: int = 0):
+    def decode_available(self, eof: bool = False, pad_to: int = 0,
+                         retain: bool = True):
         """Parse every complete picture buffered and decode them in one or
         more device scans.  Returns a FrameSeq of Planes (device arrays;
-        per-frame slices materialize lazily on access)."""
+        per-frame slices materialize lazily on access).
+
+        retain=False (requires a connected destination) renders each batch
+        as soon as it completes and releases its device arrays -- bounded
+        device memory for arbitrarily long files; the returned FrameSeq
+        then only carries the frame count."""
+        release = not retain and self.destination is not None
         outs = FrameSeq()
         if hasattr(self.parser, 'parse_batch'):
-            needs_serial = self._decode_available_batch(eof, outs)
+            needs_serial = self._decode_available_batch(eof, outs, release)
             if needs_serial:
                 # quirk leak or malformed data: finish with the always-exact
                 # serial coefficient path
                 for p in self._decode_available_serial(eof, pad_to) or []:
-                    outs.append(p)
+                    if release:
+                        self.destination.render(p.y, p.cr, p.cb)
+                        outs.count_only(1)
+                    else:
+                        outs.append(p)
         else:
             for p in self._decode_available_serial(eof, pad_to) or []:
-                outs.append(p)
+                if release:
+                    self.destination.render(p.y, p.cr, p.cb)
+                    outs.count_only(1)
+                else:
+                    outs.append(p)
         if not len(outs):
             return None
-        if self.destination is not None:
+        if self.destination is not None and not release:
             for p in outs:
                 self.destination.render(p.y, p.cr, p.cb)
         return outs
@@ -648,10 +668,12 @@ class MPEG1Decoder:
                 mb_h=seq.mb_height, mb_w=seq.mb_width)
         return outs
 
-    def _decode_available_batch(self, eof: bool, outs_all: 'FrameSeq'):
+    def _decode_available_batch(self, eof: bool, outs_all: 'FrameSeq',
+                                release: bool = False):
         """Threaded C++ parse + packed-wire device pipeline, with the parse
         of batch k+1 overlapped against the (async) upload + scan of batch
-        k.  Returns needs_serial_fallback."""
+        k.  Returns needs_serial_fallback.  release=True renders each
+        batch to the destination and drops its device arrays."""
         batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
         while True:
             if batch == 'fallback':
@@ -672,8 +694,14 @@ class MPEG1Decoder:
             for _ in range(n):
                 self.advance_decoded_time(1.0 / self.frame_rate)
             for outs, gn in dispatched:
-                outs_all.append_batch(PlanesBatch(
-                    Planes(outs.y, outs.cr, outs.cb), gn))
+                pb = PlanesBatch(Planes(outs.y, outs.cr, outs.cb), gn)
+                if release:
+                    for i in range(gn):
+                        p = pb.frame(i)
+                        self.destination.render(p.y, p.cr, p.cb)
+                    outs_all.count_only(gn)
+                else:
+                    outs_all.append_batch(pb)
 
     def _decode_available_serial(self, eof: bool = False, pad_to: int = 0):
         frames = []

@@ -301,7 +301,9 @@ class Player:
         n_video = n_audio = 0
         if self.video is not None:
             with self.metrics.time('video_batch'):
-                frames = self.video.decode_available(eof=True)
+                # retain=False: render-and-release per batch, so device
+                # memory stays bounded for arbitrarily long files
+                frames = self.video.decode_available(eof=True, retain=False)
             n_video = len(frames) if frames else 0
             self.metrics.add('video_batch', n_video - 1)
         if self.audio is not None:
