@@ -420,6 +420,8 @@ class MPEG1Decoder:
         self._fwd: Optional[Planes] = None
         self.frame_rate = 30.0
         self.on_decode = options.get('onVideoDecode')
+        self.decode_first_frame = options.get('decodeFirstFrame', False)
+        self._first_frame_done = False
         # timestamp collection for static-file A/V sync + seek
         # (semantics of the reference Decoder.Base, src/decoder.js:36-102)
         self.streaming = bool(options.get('streaming'))
@@ -454,6 +456,11 @@ class MPEG1Decoder:
         self.can_play = True
         if self.parser.has_sequence_header and self._cur is None:
             self._init_planes()
+            if self.decode_first_frame and not self._first_frame_done:
+                # immediate first-frame decode on header detect (preview
+                # while paused; reference src/mpeg1.js:29-42)
+                self._first_frame_done = True
+                self.decode()
 
     def _enforce_buffer_cap(self) -> None:
         # EVICT-mode memory bound (reference src/buffer.js:30-62): drop

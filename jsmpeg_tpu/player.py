@@ -89,6 +89,7 @@ class Player:
         opts = {'streaming': self.streaming,
                 'videoBufferSize': cfg.video_buffer_size,
                 'audioBufferSize': cfg.audio_buffer_size,
+                'decodeFirstFrame': cfg.decode_first_frame,
                 'onVideoDecode': _vcb,
                 'onAudioDecode': _acb}
         self.video: Optional[MPEG1Decoder] = None
@@ -147,6 +148,10 @@ class Player:
     def stop(self) -> None:
         self.pause()
         self.seek(0.0)
+        if self.video is not None and self.cfg.decode_first_frame:
+            # re-render the first frame as the stopped poster
+            # (reference src/player.js:153-159)
+            self.video.decode()
         if self.video is not None:
             self.video.can_play = False
         if self.audio is not None:
