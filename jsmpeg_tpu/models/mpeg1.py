@@ -358,11 +358,16 @@ class PlanesBatch:
 
 
 class FrameSeq:
-    """List-like concatenation of PlanesBatch chunks + eager Planes."""
+    """List-like concatenation of PlanesBatch chunks + eager Planes.
+
+    Frames decoded under retain=False were rendered to the destination and
+    their device arrays released; they count toward len() but indexing
+    them raises (there is nothing left to return)."""
 
     def __init__(self):
         self._chunks: list = []
         self._len = 0
+        self._released = 0
 
     def append_batch(self, batch: PlanesBatch) -> None:
         self._chunks.append(batch)
@@ -375,15 +380,20 @@ class FrameSeq:
     def count_only(self, n: int) -> None:
         """Record frames that were already consumed (rendered + released)
         without retaining their device arrays."""
-        self._len += n
+        self._released += n
 
     def __len__(self) -> int:
-        return self._len
+        return self._released + self._len
 
     def __getitem__(self, i: int):
-        if not -self._len <= i < self._len:
+        total = self._released + self._len
+        if not -total <= i < total:
             raise IndexError(i)
-        i = i % self._len
+        i = i % total
+        if i < self._released:
+            raise IndexError(
+                f'frame {i} was rendered and released (retain=False)')
+        i -= self._released
         for c in self._chunks:
             n = len(c) if isinstance(c, PlanesBatch) else 1
             if i < n:
@@ -392,7 +402,7 @@ class FrameSeq:
         raise IndexError(i)
 
     def __iter__(self):
-        for i in range(self._len):
+        for i in range(self._released, self._released + self._len):
             yield self[i]
 
 
@@ -422,6 +432,7 @@ class MPEG1Decoder:
         self.on_decode = options.get('onVideoDecode')
         self.decode_first_frame = options.get('decodeFirstFrame', False)
         self._first_frame_done = False
+        self.frames_decoded = 0
         # timestamp collection for static-file A/V sync + seek
         # (semantics of the reference Decoder.Base, src/decoder.js:36-102)
         self.streaming = bool(options.get('streaming'))
@@ -556,6 +567,7 @@ class MPEG1Decoder:
                 self._cur, self._fwd, arrays,
                 mb_h=seq.mb_height, mb_w=seq.mb_width)
         self.advance_decoded_time(1.0 / self.frame_rate)
+        self.frames_decoded += 1
         if self.streaming:
             self.parser.bits.evict_consumed()
         if self.destination is not None:
@@ -578,7 +590,10 @@ class MPEG1Decoder:
         as soon as it completes and releases its device arrays -- bounded
         device memory for arbitrarily long files; the returned FrameSeq
         then only carries the frame count."""
-        release = not retain and self.destination is not None
+        if not retain and self.destination is None:
+            raise ValueError('retain=False requires a connected destination '
+                             '(frames are rendered and released per batch)')
+        release = not retain
         outs = FrameSeq()
         if hasattr(self.parser, 'parse_batch'):
             needs_serial = self._decode_available_batch(eof, outs, release)
@@ -698,6 +713,7 @@ class MPEG1Decoder:
                           for g in groups]
             batch = (self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
                      if n == self.BATCH_FRAMES else None)
+            self.frames_decoded += n
             for _ in range(n):
                 self.advance_decoded_time(1.0 / self.frame_rate)
             for outs, gn in dispatched:
@@ -717,6 +733,7 @@ class MPEG1Decoder:
             if fd is None:
                 break
             frames.append(frame_to_arrays(fd))
+            self.frames_decoded += 1
             self.advance_decoded_time(1.0 / self.frame_rate)
         if not frames:
             return None

@@ -9,10 +9,12 @@ dequant + both butterfly passes before writing pixels back -- one HBM
 round trip per block instead of XLA's fusion-boundary traffic.
 
 The XLA path (idct.py, fused by the compiler into the frame pipeline) is
-the default; this kernel is the hand-scheduled alternative for chips /
-shapes where profiling shows the fusion boundary costing bandwidth, and
-doubles as the repo's Pallas reference.  `dequant_idct` in models can be
-switched via JSMPEG_TPU_PALLAS_IDCT=1.
+the default and measured slightly faster end-to-end on v5e (the compiler
+fuses dequant+IDCT into the surrounding frame math anyway); this kernel
+is the hand-scheduled alternative for chips / shapes where profiling
+shows the fusion boundary costing bandwidth, and doubles as the repo's
+Pallas reference.  Call `dequant_idct_pallas` directly (same contract as
+dequant_premult + idct_s32); it is not wired into the default pipeline.
 """
 
 from __future__ import annotations

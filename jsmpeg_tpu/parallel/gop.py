@@ -24,14 +24,18 @@ from ..ops.frame import FrameArrays, Planes, decode_frame_step
 from .mesh import _pvary, shard_map
 
 
-def split_gops(frames: List[FrameData]) -> List[List[FrameData]]:
+def split_at_iframes(frames, pic_type_of) -> list:
     """Split a picture sequence at I-frames into closed GOPs."""
-    gops: List[List[FrameData]] = []
+    gops: list = []
     for f in frames:
-        if f.pic_type == 1 or not gops:
+        if pic_type_of(f) == 1 or not gops:
             gops.append([])
         gops[-1].append(f)
     return gops
+
+
+def split_gops(frames: List[FrameData]) -> List[List[FrameData]]:
+    return split_at_iframes(frames, lambda f: f.pic_type)
 
 
 def stack_gops(gops: List[List[FrameData]], pad_gops_to: int,

@@ -175,6 +175,22 @@ def _pad_rows(stacked: FrameArrays, mb_h: int, mb_w: int,
                          for v in stacked])
 
 
+def _gop_scan_local(frames, step, rows_local: int, cw: int):
+    """Shared per-shard scaffolding: zero reference planes, scan `step`
+    over the frames of each local GOP, vmap over local GOPs."""
+    def one_gop(fr):
+        z = lambda h, w: jnp.zeros((h, w), dtype=jnp.uint8)
+        state = (Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
+                        z(rows_local >> 1, cw >> 1)),
+                 Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
+                        z(rows_local >> 1, cw >> 1)))
+        state = _pvary(state, ('gop', 'tile'))
+        _, outs = jax.lax.scan(step, state, fr)
+        return outs
+
+    return jax.vmap(one_gop)(frames)
+
+
 @functools.partial(jax.jit, static_argnames=('mb_h_pad', 'mb_w', 'halo_mb',
                                              'mb_h_total', 'mesh'))
 def decode_gops_tiled(stacked: FrameArrays, mb_h_pad: int, mb_w: int,
@@ -187,21 +203,10 @@ def decode_gops_tiled(stacked: FrameArrays, mb_h_pad: int, mb_w: int,
     rows_local = mb_h_local * 16
 
     def local(frames: FrameArrays):
-        # frames: [g_local, F, local_mbs, ...]
-        def one_gop(fr):
-            z = lambda h, w: jnp.zeros((h, w), dtype=jnp.uint8)
-            state = (Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
-                            z(rows_local >> 1, cw >> 1)),
-                     Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
-                            z(rows_local >> 1, cw >> 1)))
-            state = _pvary(state, ('gop', 'tile'))
-            step = functools.partial(_tiled_step, mb_h_local=mb_h_local,
-                                     mb_w=mb_w, halo_mb=halo_mb,
-                                     mb_h_total=mb_h_total, axis='tile')
-            _, outs = jax.lax.scan(step, state, fr)
-            return outs
-
-        return jax.vmap(one_gop)(frames)
+        step = functools.partial(_tiled_step, mb_h_local=mb_h_local,
+                                 mb_w=mb_w, halo_mb=halo_mb,
+                                 mb_h_total=mb_h_total, axis='tile')
+        return _gop_scan_local(frames, step, rows_local, cw)
 
     # MB arrays shard their row blocks over 'tile' (axis 2 of [G,F,mb,...])
     spec_mb = P('gop', None, 'tile')
@@ -271,22 +276,12 @@ def decode_gops_tiled_levels(stacked, intra_q: jnp.ndarray,
     rows_local = mb_h_local * 16
 
     def local(frames, iq, nq):
-        def one_gop(fr):
-            z = lambda h, w: jnp.zeros((h, w), dtype=jnp.uint8)
-            state = (Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
-                            z(rows_local >> 1, cw >> 1)),
-                     Planes(z(rows_local, cw), z(rows_local >> 1, cw >> 1),
-                            z(rows_local >> 1, cw >> 1)))
-            state = _pvary(state, ('gop', 'tile'))
-            step = functools.partial(
-                _levels_step, intra_q=_pvary(iq, ('gop', 'tile')),
-                non_intra_q=_pvary(nq, ('gop', 'tile')),
-                mb_h_local=mb_h_local, mb_w=mb_w, halo_mb=halo_mb,
-                mb_h_total=mb_h_total, axis='tile')
-            _, outs = jax.lax.scan(step, state, fr)
-            return outs
-
-        return jax.vmap(one_gop)(frames)
+        step = functools.partial(
+            _levels_step, intra_q=_pvary(iq, ('gop', 'tile')),
+            non_intra_q=_pvary(nq, ('gop', 'tile')),
+            mb_h_local=mb_h_local, mb_w=mb_w, halo_mb=halo_mb,
+            mb_h_total=mb_h_total, axis='tile')
+        return _gop_scan_local(frames, step, rows_local, cw)
 
     spec_mb = P('gop', None, 'tile')
     in_specs = (LevelsArrays(
@@ -309,6 +304,9 @@ def parse_levels_frames(es_or_parser, eof: bool = True):
         parser.write(bytes(es_or_parser))
     else:
         parser = es_or_parser
+    if not hasattr(parser, 'parse_batch'):
+        raise RuntimeError('stream needs the serial-exact path; '
+                           'use decode_tiled (FrameData) instead')
     frames = []
     while True:
         b = parser.parse_batch(32, eof=eof, sparse=False, packed=False)
@@ -334,14 +332,14 @@ def decode_tiled_levels(es: bytes, mesh: Mesh,
     GOPs, stack [G, F, ...], shard over ('gop','tile'), decode."""
     from ..ops.frame import LevelsArrays
 
+    from .gop import split_at_iframes
+
     seq, frames = parse_levels_frames(es)
+    if not frames:
+        return []
     mb_h, mb_w = seq.mb_height, seq.mb_width
     n_mb = mb_h * mb_w
-    gops: List[list] = []
-    for f in frames:
-        if f['pic_type'] == 1 or not gops:
-            gops.append([])
-        gops[-1].append(f)
+    gops = split_at_iframes(frames, lambda f: f['pic_type'])
     n_gop = mesh.shape['gop']
     n_tile = mesh.shape['tile']
     g = max(1, -(-len(gops) // n_gop)) * n_gop
@@ -354,14 +352,15 @@ def decode_tiled_levels(es: bytes, mesh: Mesh,
                 out[gi, fi] = fr[name]
         return out
 
+    mv = stack_field('mv', np.int32, (n_mb, 2))
     stacked = LevelsArrays(
         levels=stack_field('levels', np.int16, (n_mb, 6, 64)),
         qscale=stack_field('qscale', np.uint8, (n_mb,)),
         coded=stack_field('coded', bool, (n_mb, 6)),
         intra=stack_field('intra', bool, (n_mb,)),
         written=stack_field('written', bool, (n_mb,)),
-        mv_h=stack_field('mv', np.int32, (n_mb, 2))[..., 0],
-        mv_v=stack_field('mv', np.int32, (n_mb, 2))[..., 1],
+        mv_h=np.ascontiguousarray(mv[..., 0]),
+        mv_v=np.ascontiguousarray(mv[..., 1]),
         valid=np.array([[fi < len(gops[gi]) if gi < len(gops) else False
                          for fi in range(fmax)] for gi in range(g)]))
     mb_h_pad = -(-mb_h // n_tile) * n_tile

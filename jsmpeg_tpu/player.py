@@ -148,9 +148,11 @@ class Player:
     def stop(self) -> None:
         self.pause()
         self.seek(0.0)
-        if self.video is not None and self.cfg.decode_first_frame:
-            # re-render the first frame as the stopped poster
-            # (reference src/player.js:153-159)
+        if (self.video is not None and self.cfg.decode_first_frame
+                and not self.streaming):
+            # re-render the first frame as the stopped poster (reference
+            # src/player.js:153-159); in streaming mode seek() is a no-op,
+            # so a decode here would eat an arbitrary live frame instead
             self.video.decode()
         if self.video is not None:
             self.video.can_play = False
@@ -305,12 +307,15 @@ class Player:
         self.demuxer.flush()
         n_video = n_audio = 0
         if self.video is not None:
+            before = self.video.frames_decoded
             with self.metrics.time('video_batch'):
                 # retain=False: render-and-release per batch, so device
                 # memory stays bounded for arbitrarily long files
-                frames = self.video.decode_available(eof=True, retain=False)
-            n_video = len(frames) if frames else 0
-            self.metrics.add('video_batch', n_video - 1)
+                self.video.decode_available(eof=True, retain=False)
+            # count via the decoder (a decodeFirstFrame preview may have
+            # decoded+rendered frame 0 during write, before this call)
+            n_video = self.video.frames_decoded
+            self.metrics.add('video_batch', n_video - before - 1)
         if self.audio is not None:
             with self.metrics.time('audio_batch'):
                 pcm = self.audio.decode_available()

@@ -144,3 +144,46 @@ def test_seek_to_iframe_clean_resume():
         matches = [i for i, (gy, _, _) in enumerate(golden)
                    if np.array_equal(gy, got)]
         assert matches and all(m % 3 == 0 for m in matches), matches
+
+
+def test_offline_count_includes_first_frame_preview():
+    """decode_offline must count the decodeFirstFrame preview (decoded
+    during write) -- regression: it was undercounted by one when the
+    first write held a complete picture."""
+    import numpy as np
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.sinks import VideoCollector
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+
+    es, _ = encode_test_stream(80, 48, n_frames=5, seed=23, gop=5)
+    dec = MPEG1Decoder({'decodeFirstFrame': True})
+    sink = VideoCollector()
+    dec.connect(sink)
+    dec.write(0.0, es)          # whole ES in one write -> preview decodes
+    assert dec.frames_decoded == 1
+    dec.decode_available(eof=True, retain=False)
+    assert dec.frames_decoded == 5
+    assert sink.frames_rendered == 5
+
+
+def test_retain_false_frameseq_contract():
+    """retain=False: len() counts all frames; accessing released frames
+    raises a descriptive IndexError; no destination -> ValueError."""
+    import pytest as _pytest
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.sinks import NullVideoSink
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+
+    es, _ = encode_test_stream(80, 48, n_frames=4, seed=24, gop=2)
+    dec = MPEG1Decoder()
+    dec.write(0.0, es)
+    with _pytest.raises(ValueError):
+        dec.decode_available(eof=True, retain=False)
+    dec2 = MPEG1Decoder()
+    dec2.connect(NullVideoSink())
+    dec2.write(0.0, es)
+    seq = dec2.decode_available(eof=True, retain=False)
+    assert len(seq) == 4
+    with _pytest.raises(IndexError, match='released'):
+        seq[0]
+    assert list(iter(seq)) == []
