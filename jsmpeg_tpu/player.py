@@ -187,6 +187,12 @@ class Player:
             return self.video.current_time
         return 0.0
 
+    @current_time.setter
+    def current_time(self, t: float) -> None:
+        """Assignment seeks (the reference's writable currentTime,
+        src/player.js:57-60)."""
+        self.seek(t)
+
     def seek(self, t: float, to_iframe: bool = False) -> None:
         """Seek to a timestamp.  to_iframe=True snaps forward to the next
         I picture for a clean GOP-aligned resume (no artifacts; the
