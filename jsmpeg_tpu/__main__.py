@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                     help='stop after N seconds (streaming)')
     ap.add_argument('--offline', action='store_true',
                     help='batch decode at maximum throughput (static files)')
+    ap.add_argument('--mesh', default=None,
+                    help="shard offline decode over a device mesh: 'GxT' "
+                         "(GOPs x macroblock tiles), an integer (GOP-"
+                         "parallel), or 'auto' (all devices)")
     ap.add_argument('--no-audio', action='store_true')
     ap.add_argument('--no-video', action='store_true')
     ap.add_argument('--audio-mode', choices=['exact', 'tpu'], default='exact')
@@ -64,6 +68,7 @@ def main(argv=None) -> int:
         'video': not args.no_video,
         'audio_mode': args.audio_mode,
         'loop': args.loop,
+        'mesh': args.mesh,
     }
     t0 = time.monotonic()
     p = Player(args.source, options, renderer=renderer, audio_out=audio_out)

@@ -103,22 +103,19 @@ def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
     return cur, fwd, outs
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
-                                    'n_runs'))
-def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
-                      intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
-                      mb_h: int, mb_w: int, n_frames: int, n_blk: int,
-                      n_runs: int):
-    """Single-upload variant of decode_scan_packed: the whole batch rides
-    in ONE uint8 buffer (one transport round trip on high-latency links):
-    [valid F][run_len LE u16 2R][run_flags R][run_cbp R][run_mv LE i16 4R]
-    [sp_pos P][sp_v8 i8 P][sp_esc LE i16 2*(P//8)], so
+def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int):
+    """Decode the single-upload wire buffer into per-MB streams.
+
+    Layout: [valid F][run_len LE u16 2R][run_flags R][run_cbp R]
+    [run_mv LE i16 4R][sp_pos P][sp_v8 i8 P][sp_esc LE i16 2*(P//8)], so
     P = (len-F-8R)*4//9.  Per-MB metadata is run-length encoded over
-    (flags, cbp, mv) tuples; runs expand on device via cumsum +
-    searchsorted.  Coefficient values ride as int8 with -128 escaping to
-    the int16 side stream (~2 B/coefficient on the wire)."""
-    F, n_mb = n_frames, mb_h * mb_w
+    (flags, cbp, mv) tuples; runs expand via cumsum + searchsorted.
+    Coefficient values ride as int8 with -128 escaping to the int16 side
+    stream (~2 B/coefficient on the wire).
+
+    Returns (valid[F], flags[F,n_mb], cbp[F,n_mb], mv16[F,n_mb,2],
+    sp_pos[P], sp_val[P])."""
+    F = n_frames
     R = n_runs
     P = (buf.shape[0] - F - 8 * R) * 4 // 9
     E = P // 8
@@ -155,6 +152,21 @@ def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                    fill_value=0).reshape(F, n_mb)
     mv16 = jnp.take(run_mv, slot, axis=0, mode='fill',
                     fill_value=0).reshape(F, n_mb, 2)
+    return valid, flags, cbp, mv16, sp_pos, sp_val
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
+                                    'n_runs'))
+def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
+                      intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
+                      mb_h: int, mb_w: int, n_frames: int, n_blk: int,
+                      n_runs: int):
+    """Single-upload variant of decode_scan_packed: the whole batch rides
+    in ONE uint8 buffer (one transport round trip on high-latency links);
+    see unpack_fused for the wire layout."""
+    valid, flags, cbp, mv16, sp_pos, sp_val = unpack_fused(
+        buf, n_frames, mb_h * mb_w, n_runs)
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk)
 
@@ -184,18 +196,17 @@ def _scatter_pairs(flat: jnp.ndarray, idx: jnp.ndarray,
     return jax.lax.fori_loop(0, P // SCATTER_SEG, body, flat)
 
 
-@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk'))
-def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
-                       cbp: jnp.ndarray, mv16: jnp.ndarray,
-                       sp_pos: jnp.ndarray, sp_val: jnp.ndarray,
-                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
-                       valid: jnp.ndarray, mb_h: int, mb_w: int, n_blk: int):
-    """Packed-wire pipeline (3 B/coefficient + 8 B/MB): the host sends
-    per-MB metadata packed into bytes and coefficients as (pos, value)
-    pairs whose block association is carried by flag bits (bit 7 = first
-    pair of a coded block, bit 6 = empty-coded-block marker).  The device
-    rebuilds global scatter indices from the cbp bitmap: coded-block ids in
-    row-major (frame, mb, block) order match the host's emission order."""
+def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
+                     mv16: jnp.ndarray, sp_pos: jnp.ndarray,
+                     sp_val: jnp.ndarray, valid: jnp.ndarray,
+                     n_blk: int) -> LevelsArrays:
+    """Packed-wire -> dense LevelsArrays (3 B/coefficient + 8 B/MB on the
+    wire): per-MB metadata rides packed into bytes and coefficients as
+    (pos, value) pairs whose block association is carried by flag bits
+    (bit 7 = first pair of a coded block, bit 6 = empty-coded-block
+    marker).  The device rebuilds global scatter indices from the cbp
+    bitmap: coded-block ids in row-major (frame, mb, block) order match
+    the host's emission order."""
     F, n_mb = flags.shape
     qscale = (flags & 31).astype(jnp.uint8)
     intra = (flags & 0x20) != 0
@@ -215,10 +226,21 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                     oob * 64)
     flat = jnp.zeros((F * n_mb * 6 * 64,), jnp.int16)
     flat = _scatter_pairs(flat, idx, sp_val)
-    stacked = LevelsArrays(
+    return LevelsArrays(
         levels=flat.reshape(F, n_mb, 6, 64), qscale=qscale, coded=coded,
         intra=intra, written=written, mv_h=mv16[..., 0].astype(jnp.int32),
         mv_v=mv16[..., 1].astype(jnp.int32), valid=valid)
+
+
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk'))
+def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
+                       cbp: jnp.ndarray, mv16: jnp.ndarray,
+                       sp_pos: jnp.ndarray, sp_val: jnp.ndarray,
+                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
+                       valid: jnp.ndarray, mb_h: int, mb_w: int, n_blk: int):
+    """Packed-wire pipeline: see packed_to_levels for the wire format."""
+    stacked = packed_to_levels(flags, cbp, mv16, sp_pos, sp_val, valid,
+                               n_blk)
 
     def step(carry, la):
         fr = levels_to_frame(la, intra_q, non_intra_q)
@@ -300,20 +322,37 @@ def _pair_bucket(n: int) -> int:
     return -(-n // SCATTER_SEG) * SCATTER_SEG
 
 
+def fused_pair_bucket(total: int, n_esc: int) -> int:
+    """Pair bucket large enough for `total` pairs AND `n_esc` escapes
+    (the escape stream caps at bucket//8)."""
+    bucket = _pair_bucket(max(total, 1))
+    while bucket // 8 < n_esc:        # escape stream must fit its P//8 cap
+        bucket = _pair_bucket(bucket + 1)
+    return bucket
+
+
 def build_fused_buffer(batch: dict, n_frames: int):
     """Assemble the single-upload wire buffer for decode_scan_fused from a
     packed parse_batch dict.  Returns (buf uint8, n_blk, n_runs) with
-    bucketed static sizes (see decode_scan_fused for the layout)."""
+    bucketed static sizes (see unpack_fused for the layout)."""
+    bucket = fused_pair_bucket(len(batch['sp_pos']), len(batch['sp_esc']))
+    n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
+    n_runs = _bucket(max(len(batch['run_len']), 1), lo=256)
+    buf = build_fused_buffer_sized(batch, n_frames, bucket, n_runs)
+    return buf, n_blk, n_runs
+
+
+def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
+                             n_runs: int) -> np.ndarray:
+    """build_fused_buffer with caller-fixed bucket sizes (mesh cells share
+    one shape so the sharded decode compiles once)."""
     F = n_frames
     n = batch['n']
     total = len(batch['sp_pos'])
     n_esc = len(batch['sp_esc'])
-    bucket = _pair_bucket(max(total, 1))
-    while bucket // 8 < n_esc:        # escape stream must fit its P//8 cap
-        bucket = _pair_bucket(bucket + 1)
-    n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
+    bucket = n_pairs
     rt = len(batch['run_len'])
-    n_runs = _bucket(max(rt, 1), lo=256)
+    assert total <= bucket and n_esc <= bucket // 8 and rt <= n_runs
     buf = np.zeros(F + 8 * n_runs + 2 * bucket + 2 * (bucket // 8),
                    dtype=np.uint8)
     buf[:F] = np.arange(F) < n
@@ -334,7 +373,7 @@ def build_fused_buffer(batch: dict, n_frames: int):
     buf[o:o + total] = batch['sp_v8'].view(np.uint8)
     o += bucket
     buf[o:o + 2 * n_esc] = batch['sp_esc'].view(np.uint8)
-    return buf, n_blk, n_runs
+    return buf
 
 
 class PlanesBatch:
@@ -581,7 +620,7 @@ class MPEG1Decoder:
     BATCH_FRAMES = 32
 
     def decode_available(self, eof: bool = False, pad_to: int = 0,
-                         retain: bool = True):
+                         retain: bool = True, mesh=None):
         """Parse every complete picture buffered and decode them in one or
         more device scans.  Returns a FrameSeq of Planes (device arrays;
         per-frame slices materialize lazily on access).
@@ -589,11 +628,18 @@ class MPEG1Decoder:
         retain=False (requires a connected destination) renders each batch
         as soon as it completes and releases its device arrays -- bounded
         device memory for arbitrarily long files; the returned FrameSeq
-        then only carries the frame count."""
+        then only carries the frame count.
+
+        mesh: an optional ('gop', 'tile') jax Mesh -- GOPs shard over
+        'gop' (DP) and macroblock-row slabs over 'tile' (spatial TP with
+        halo exchange), with the packed wire split per shard so every
+        device uploads only its own bytes (parallel/packed.py)."""
         if not retain and self.destination is None:
             raise ValueError('retain=False requires a connected destination '
                              '(frames are rendered and released per batch)')
         release = not retain
+        if mesh is not None and hasattr(self.parser, 'parse_batch'):
+            return self._decode_available_mesh(mesh, eof, release)
         outs = FrameSeq()
         if hasattr(self.parser, 'parse_batch'):
             needs_serial = self._decode_available_batch(eof, outs, release)
@@ -725,6 +771,92 @@ class MPEG1Decoder:
                     outs_all.count_only(gn)
                 else:
                     outs_all.append_batch(pb)
+
+    def _mesh_decoder(self, mesh):
+        from ..parallel.packed import MeshPackedDecoder
+        md = getattr(self, '_mesh_dec', None)
+        if md is None or md.mesh is not mesh or md.seq is not self.parser.seq:
+            self._mesh_dec = md = MeshPackedDecoder(mesh, self.parser.seq)
+        return md
+
+    def _decode_available_mesh(self, mesh, eof: bool, release: bool):
+        """Mesh-parallel decode_available: the packed wire splits per
+        (gop, tile) shard and each device decodes only its own cells.
+        Coefficient-dense batches (packed-cap overflow) run on the default
+        device; quirky streams finish on the serial-exact path.  The
+        reference-plane carry threads through all three."""
+        from ..parallel.packed import split_packed_frames
+        if self.parser.seq is None:
+            return None
+        outs_all = FrameSeq()
+        pending: list = []
+        rows = self.parser.seq.mb_height * 16
+
+        def emit(pb: PlanesBatch):
+            if release:
+                for i in range(len(pb)):
+                    p = pb.frame(i)
+                    self.destination.render(p.y, p.cr, p.cb)
+                outs_all.count_only(len(pb))
+            else:
+                outs_all.append_batch(pb)
+
+        def account(n: int):
+            self.frames_decoded += n
+            for _ in range(n):
+                self.advance_decoded_time(1.0 / self.frame_rate)
+
+        def flush():
+            if not pending:
+                return
+            md = self._mesh_decoder(mesh)
+            # a leading I picture overwrites every pixel, so the carry
+            # only matters for a mid-GOP continuation
+            init = (None if pending[0]['pic_type'] == 1
+                    else (self._cur, self._fwd))
+            outs, gl, carry = md.decode(pending, init=init)
+            self._cur, self._fwd = carry
+            account(len(pending))
+            pending.clear()
+            for gi, gn in enumerate(gl):
+                emit(PlanesBatch(Planes(outs.y[gi, :, :rows],
+                                        outs.cr[gi, :, :rows >> 1],
+                                        outs.cb[gi, :, :rows >> 1]), gn))
+
+        needs_serial = False
+        while True:
+            batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
+            if batch == 'fallback':
+                needs_serial = True
+                break
+            if batch is None:
+                break
+            if 'sp_pos' not in batch:
+                flush()
+                n = batch['n']
+                outs = self._dispatch_batch(batch, n_frames=None)
+                account(n)
+                emit(PlanesBatch(Planes(outs.y, outs.cr, outs.cb), n))
+                if n < self.BATCH_FRAMES:
+                    break
+                continue
+            pending.extend(split_packed_frames(batch))
+            if batch['n'] < self.BATCH_FRAMES:
+                break
+        flush()
+        if needs_serial:
+            for p in self._decode_available_serial(eof) or []:
+                if release:
+                    self.destination.render(p.y, p.cr, p.cb)
+                    outs_all.count_only(1)
+                else:
+                    outs_all.append(p)
+        if not len(outs_all):
+            return None
+        if self.destination is not None and not release:
+            for p in outs_all:
+                self.destination.render(p.y, p.cr, p.cb)
+        return outs_all
 
     def _decode_available_serial(self, eof: bool = False, pad_to: int = 0):
         frames = []

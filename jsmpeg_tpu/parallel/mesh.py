@@ -33,6 +33,35 @@ def make_mesh(n_gop: Optional[int] = None, n_tile: int = 1,
     return Mesh(arr, ('gop', 'tile'))
 
 
+def resolve_mesh(spec, devices: Optional[Sequence] = None) -> Optional[Mesh]:
+    """Accepts what PlayerConfig.mesh / CLI --mesh carry and returns a
+    ('gop', 'tile') Mesh (or None):
+      Mesh          -> itself
+      int n         -> n-way GOP parallel
+      (g, t)        -> explicit shape
+      '4x2' / '8'   -> parsed shape (gop x tile)
+      'auto'/'all'  -> every visible device, GOP-parallel
+    """
+    if spec is None:
+        return None
+    if isinstance(spec, Mesh):
+        return spec
+    if isinstance(spec, int):
+        return make_mesh(n_gop=spec, n_tile=1, devices=devices)
+    if isinstance(spec, (tuple, list)):
+        g, t = spec
+        return make_mesh(n_gop=int(g), n_tile=int(t), devices=devices)
+    if isinstance(spec, str):
+        s = spec.lower().replace('gop', '').replace('tile', '').strip()
+        if s in ('auto', 'all'):
+            return make_mesh(devices=devices)
+        if 'x' in s:
+            g, _, t = s.partition('x')
+            return make_mesh(n_gop=int(g), n_tile=int(t), devices=devices)
+        return make_mesh(n_gop=int(s), n_tile=1, devices=devices)
+    raise TypeError(f'unsupported mesh spec: {spec!r}')
+
+
 def _pvary(x, axes):
     """Mark a shard-local constant as device-varying (API moved between
     jax versions)."""

@@ -306,7 +306,9 @@ class Player:
 
     def decode_offline(self):
         """TPU-throughput mode for static sources: load everything, then
-        batch all pictures / audio frames through the device pipelines."""
+        batch all pictures / audio frames through the device pipelines.
+        cfg.mesh shards the decode over a ('gop', 'tile') device mesh;
+        cfg.batch_gop=False falls back to frame-at-a-time decode."""
         self.play()
         if hasattr(self.source, 'load_all'):
             self.source.load_all()
@@ -314,10 +316,19 @@ class Player:
         n_video = n_audio = 0
         if self.video is not None:
             before = self.video.frames_decoded
+            mesh = None
+            if self.cfg.mesh is not None:
+                from .parallel.mesh import resolve_mesh
+                mesh = resolve_mesh(self.cfg.mesh)
             with self.metrics.time('video_batch'):
                 # retain=False: render-and-release per batch, so device
                 # memory stays bounded for arbitrarily long files
-                self.video.decode_available(eof=True, retain=False)
+                if self.cfg.batch_gop:
+                    self.video.decode_available(eof=True, retain=False,
+                                                mesh=mesh)
+                else:
+                    while self.video.decode(eof=True) is not None:
+                        pass
             # count via the decoder (a decodeFirstFrame preview may have
             # decoded+rendered frame 0 during write, before this call)
             n_video = self.video.frames_decoded
