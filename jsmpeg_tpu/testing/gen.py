@@ -66,11 +66,24 @@ def random_sparse_levels(rng, density=0.12, max_level=40, escape_prob=0.05):
 def encode_test_stream(w: int, h: int, n_frames: int, seed: int = 0,
                        gop: int = 6, qscale: int = 8, f_code: int = 2,
                        custom_matrices: bool = False,
-                       frame_rate: float = 25.0) -> tuple[bytes, list[bytes]]:
+                       frame_rate: float = 25.0,
+                       full_pel: bool = False,
+                       b_stubs: bool = False,
+                       stuffing: bool = False,
+                       midstream_headers: bool = False
+                       ) -> tuple[bytes, list[bytes]]:
     """Generate a legal MPEG1 ES with I and P pictures covering decode paths.
 
     Returns (full_es, per_frame_es_chunks) -- the chunks are what a muxer
     packs one PES packet each.
+
+    Edge-path options (each exercises a parser branch the reference has,
+    /root/reference/src/mpeg1.js:182-196,294-392):
+      full_pel:           P pictures transmit full-pel motion vectors
+      b_stubs:            interleave B/D picture stubs decoders must skip
+      stuffing:           sprinkle macroblock_stuffing (VLC 34) codes
+      midstream_headers:  repeat sequence/GOP headers + user_data between
+                          pictures
     """
     rng = np.random.default_rng(seed)
     intra_q = non_intra_q = None
@@ -88,11 +101,17 @@ def encode_test_stream(w: int, h: int, n_frames: int, seed: int = 0,
     f = 1 << (f_code - 1)
     mv_cap = (f << 4) - 1
 
+    stuff_rng = np.random.default_rng(seed + 7777) if stuffing else None
+
     chunks = []
     for t in range(n_frames):
         enc.w = BitWriter()
         if t == 0:
             enc.sequence_header()
+        elif midstream_headers and t % gop == 0:
+            # repeated sequence header + user data between pictures
+            enc.sequence_header()
+            enc.user_data(bytes(range(1, 17)))
         is_intra = (t % gop == 0)
         y, cb, cr = make_ycbcr_frame(w, h, t, seed)
         y = _pad_plane(y, ch, cw)
@@ -101,7 +120,7 @@ def encode_test_stream(w: int, h: int, n_frames: int, seed: int = 0,
 
         mbs = []
         if is_intra:
-            if t == 0 or rng.random() < 0.5:
+            if t == 0 or midstream_headers or rng.random() < 0.5:
                 enc.gop_header()
             for rmb in range(mb_h):
                 for cmb in range(mb_w):
@@ -111,7 +130,7 @@ def encode_test_stream(w: int, h: int, n_frames: int, seed: int = 0,
                     levels = _intra_levels(y, cb, cr, rmb, cmb,
                                            q or qscale, enc.intra_q)
                     mbs.append(MB('intra', levels=levels, qscale=q))
-            enc.encode_picture(T.PIC_I, mbs)
+            enc.encode_picture(T.PIC_I, mbs, stuffing_rng=stuff_rng)
         else:
             for rmb in range(mb_h):
                 for cmb in range(mb_w):
@@ -125,6 +144,9 @@ def encode_test_stream(w: int, h: int, n_frames: int, seed: int = 0,
                                            2 * (cw - cmb * 16 - 16 - 2)))
                     mvh = int(rng.integers(-max_left, max_right + 1))
                     mvv = int(rng.integers(-max_up, max_down + 1))
+                    if full_pel:
+                        mvh &= ~1       # full-pel MVs are even half-pels
+                        mvv &= ~1
                     q = int(rng.integers(1, 31)) if rng.random() < 0.05 else None
                     if u < 0.25:
                         mbs.append(MB('skip'))
@@ -142,7 +164,13 @@ def encode_test_stream(w: int, h: int, n_frames: int, seed: int = 0,
                                   for _ in range(6)]
                         mbs.append(MB('mc_coded', mv=(mvh, mvv),
                                       levels=levels, qscale=q))
-            enc.encode_picture(T.PIC_P, mbs)
+            enc.encode_picture(T.PIC_P, mbs, full_pel=full_pel,
+                               stuffing_rng=stuff_rng)
+            if b_stubs and rng.random() < 0.6:
+                # interleaved B (and occasionally D) pictures: decoders
+                # must skip them and keep their byte position
+                enc.encode_skipped_picture(
+                    T.PIC_D if rng.random() < 0.2 else T.PIC_B, rng=rng)
         chunks.append(enc.getvalue())
 
     chunks.append(b'\x00\x00\x01\xb7')    # sequence end

@@ -110,10 +110,28 @@ class MPEG1Encoder:
     def sequence_end(self) -> None:
         self.w.start_code(T.START_SEQUENCE_END)
 
+    def user_data(self, payload: bytes) -> None:
+        """user_data segment (00 00 01 B2 ...); the payload must not
+        contain start-code prefixes (callers pass nonzero bytes)."""
+        w = self.w
+        w.start_code(T.START_USER_DATA)
+        for b in payload:
+            assert b != 0, 'user data must not form start codes'
+            w.write(b, 8)
+        w.align()
+
     # ------------------------------------------------------------ pictures
 
-    def encode_picture(self, pic_type: int, mbs: list[MB]) -> None:
-        """mbs: mb_w*mb_h MB objects in raster order."""
+    def encode_picture(self, pic_type: int, mbs: list[MB],
+                       full_pel: bool = False,
+                       stuffing_rng=None) -> None:
+        """mbs: mb_w*mb_h MB objects in raster order.
+
+        full_pel=True writes full_pel_forward=1: motion vectors transmit
+        in full-pel units and the decoder doubles them at use (reference
+        src/mpeg1.js:187-196,414-418) -- every MB.mv must be even.
+        stuffing_rng sprinkles macroblock_stuffing codes (VLC 34, consumed
+        and ignored by decoders) before address increments."""
         assert len(mbs) == self.mb_w * self.mb_h
         w = self.w
         w.start_code(T.START_PICTURE)
@@ -122,15 +140,42 @@ class MPEG1Encoder:
         w.write(pic_type, 3)
         w.write(0xFFFF, 16)                 # vbv_delay
         if pic_type == T.PIC_P:
-            w.write(0, 1)                   # full_pel_forward
+            w.write(1 if full_pel else 0, 1)
             w.write(self.f_code, 3)
         w.align()
 
         for row in range(self.mb_h):
             self._encode_slice(row, pic_type,
-                               mbs[row * self.mb_w:(row + 1) * self.mb_w])
+                               mbs[row * self.mb_w:(row + 1) * self.mb_w],
+                               full_pel=full_pel, stuffing_rng=stuffing_rng)
 
-    def _encode_slice(self, row: int, pic_type: int, mbs: list[MB]) -> None:
+    def encode_skipped_picture(self, pic_type: int = T.PIC_B,
+                               rng=None) -> None:
+        """A B or D picture stub: decoders must skip it and continue at
+        the next picture start code (reference src/mpeg1.js:182-184).
+        The slice payload is arbitrary nonzero bytes (no start codes)."""
+        w = self.w
+        w.start_code(T.START_PICTURE)
+        w.write(self._temporal_ref & 0x3FF, 10)
+        self._temporal_ref += 1
+        w.write(pic_type, 3)
+        w.write(0xFFFF, 16)                 # vbv_delay
+        if pic_type == T.PIC_B:
+            w.write(0, 1)                   # full_pel_forward
+            w.write(self.f_code, 3)
+            w.write(0, 1)                   # full_pel_backward
+            w.write(self.f_code, 3)
+        elif pic_type == T.PIC_D:
+            pass                            # D pictures: nothing extra here
+        w.align()
+        w.start_code(T.START_SLICE_FIRST)
+        n = 24 if rng is None else int(rng.integers(8, 48))
+        for i in range(n):
+            w.write(0x55 + (i * 7) % 0xAA, 8)   # nonzero filler
+        w.align()
+
+    def _encode_slice(self, row: int, pic_type: int, mbs: list[MB],
+                      full_pel: bool = False, stuffing_rng=None) -> None:
         w = self.w
         w.start_code(T.START_SLICE_FIRST + row)
         qscale = self.qscale
@@ -148,6 +193,9 @@ class MPEG1Encoder:
                 pending_skip += 1
                 continue
 
+            if stuffing_rng is not None and stuffing_rng.random() < 0.2:
+                for _ in range(int(stuffing_rng.integers(1, 4))):
+                    w.write_bits(_INC_CODE[34])     # macroblock_stuffing
             increment = pending_skip + 1
             pending_skip = 0
             while increment > 33:
@@ -183,7 +231,14 @@ class MPEG1Encoder:
                 if force_q:
                     qscale = mb.qscale
                     w.write(qscale, 5)
-                self._encode_motion(mb.mv, mv_prev)
+                if full_pel:
+                    # transmit in full-pel units; the decoder's predictor
+                    # lives in transmitted units and doubles at use
+                    assert mb.mv[0] % 2 == 0 and mb.mv[1] % 2 == 0, mb.mv
+                    self._encode_motion((mb.mv[0] >> 1, mb.mv[1] >> 1),
+                                        mv_prev)
+                else:
+                    self._encode_motion(mb.mv, mv_prev)
                 dc_pred = [128, 128, 128]
                 if has_coef:
                     cbp = 0

@@ -1,0 +1,143 @@
+"""Parser-vs-parser differential fuzz (seeded, deterministic).
+
+The framework's validation is self-referential (encoder, oracle and
+decoder share an author; the reference can't run in this image), so the
+remaining risk is a shared misconception.  This fuzz narrows it by
+cross-checking the two independent serial parsers -- pure-Python
+(host/mpeg1_parse.py) and C++ (host/native/frontend.cpp) -- frame by
+frame over ~1000 streams: structured random encodes sweeping the
+generator's parameter space, plus byte-level mutations (flips,
+truncations, splices) of valid streams.  The C++ batch path must agree
+with serial or reject via its designated fallback ('fallback' / dense).
+"""
+
+import numpy as np
+import pytest
+
+from jsmpeg_tpu.host.mpeg1_parse import MPEG1Parser
+from jsmpeg_tpu.host.native import native_available
+from jsmpeg_tpu.testing.gen import encode_test_stream
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason='native parser required')
+
+MAX_FRAMES = 12
+
+
+def _drain(parser):
+    """Parse frames until exhaustion/error.  Returns (frames, err)."""
+    frames = []
+    err = None
+    try:
+        while len(frames) < MAX_FRAMES:
+            fd = parser.parse_frame(eof=True)
+            if fd is None:
+                break
+            frames.append(fd)
+    except Exception as e:          # garbage input may overrun Python-side
+        err = e                     # guards; C++ must still not crash
+    return frames, err
+
+
+def _assert_frames_equal(a, b, ctx):
+    assert a.pic_type == b.pic_type, ctx
+    np.testing.assert_array_equal(a.coef, b.coef, err_msg=ctx)
+    np.testing.assert_array_equal(a.coded, b.coded, err_msg=ctx)
+    np.testing.assert_array_equal(a.intra, b.intra, err_msg=ctx)
+    np.testing.assert_array_equal(a.written, b.written, err_msg=ctx)
+    np.testing.assert_array_equal(a.mv, b.mv, err_msg=ctx)
+
+
+def _cross_check(es: bytes, ctx: str):
+    """Python serial vs C++ serial must agree on every frame both
+    produce; if Python finishes cleanly the counts must match too.  The
+    C++ batch path must agree with C++ serial or visibly reject."""
+    from jsmpeg_tpu.host.native import NativeMPEG1Parser
+    py = MPEG1Parser()
+    py.write(es)
+    nat = NativeMPEG1Parser()
+    nat.write(es)
+    pf, perr = _drain(py)
+    nf, nerr = _drain(nat)
+    assert nerr is None, f'{ctx}: C++ serial parser raised {nerr!r}'
+    for i, (a, b) in enumerate(zip(pf, nf)):
+        _assert_frames_equal(a, b, f'{ctx} frame {i}')
+    if perr is None:
+        assert len(pf) == len(nf), \
+            f'{ctx}: python={len(pf)} native={len(nf)} frames'
+
+    # batch path: agreement or designated rejection
+    nb = NativeMPEG1Parser()
+    nb.write(es)
+    batch_frames = 0
+    while batch_frames <= MAX_FRAMES:
+        b = nb.parse_batch(8, eof=True)
+        if b == 'fallback' or b is None:
+            break
+        batch_frames += b['n']
+        if b['n'] < 8:
+            break
+    if b != 'fallback' and nb.quirk_leaks == 0:
+        assert batch_frames == len(nf), \
+            f'{ctx}: batch={batch_frames} serial={len(nf)} frames'
+    return len(nf)
+
+
+def _base_streams():
+    cfgs = [
+        dict(w=48, h=32, n_frames=4, gop=2),
+        dict(w=64, h=48, n_frames=4, gop=4, f_code=1),
+        dict(w=48, h=48, n_frames=4, gop=2, f_code=3, qscale=3),
+        dict(w=32, h=32, n_frames=3, gop=3, qscale=31),
+        dict(w=48, h=32, n_frames=4, gop=2, full_pel=True),
+        dict(w=48, h=32, n_frames=4, gop=2, b_stubs=True, stuffing=True),
+        dict(w=48, h=32, n_frames=4, gop=2, custom_matrices=True,
+             midstream_headers=True),
+    ]
+    return [encode_test_stream(seed=100 + i, **c)[0]
+            for i, c in enumerate(cfgs)]
+
+
+def test_structured_fuzz():
+    """~300 structured random streams sweeping generator parameters."""
+    rng = np.random.default_rng(0xF0)
+    total = 0
+    for k in range(300):
+        es, _ = encode_test_stream(
+            w=int(rng.choice([16, 32, 48, 64])),
+            h=int(rng.choice([16, 32, 48])),
+            n_frames=int(rng.integers(1, 5)),
+            seed=int(rng.integers(0, 1 << 30)),
+            gop=int(rng.integers(1, 5)),
+            qscale=int(rng.integers(1, 32)),
+            f_code=int(rng.integers(1, 5)),
+            custom_matrices=bool(rng.random() < 0.25),
+            full_pel=bool(rng.random() < 0.25),
+            b_stubs=bool(rng.random() < 0.25),
+            stuffing=bool(rng.random() < 0.25),
+            midstream_headers=bool(rng.random() < 0.2))
+        total += _cross_check(es, f'structured[{k}]')
+    assert total > 300          # the sweep really decoded frames
+
+
+def test_mutation_fuzz():
+    """~700 byte-level mutants of valid streams: flips, truncations,
+    splices.  Parsers agree on the frames they both produce; the C++
+    side never crashes."""
+    bases = _base_streams()
+    rng = np.random.default_rng(0xF1)
+    for k in range(700):
+        base = bytearray(bases[int(rng.integers(0, len(bases)))])
+        kind = rng.random()
+        if kind < 0.5:                          # byte flips
+            for _ in range(int(rng.integers(1, 9))):
+                pos = int(rng.integers(0, len(base)))
+                base[pos] ^= int(rng.integers(1, 256))
+        elif kind < 0.75:                       # truncation
+            base = base[:int(rng.integers(8, len(base)))]
+        else:                                   # splice two streams
+            other = bases[int(rng.integers(0, len(bases)))]
+            cut_a = int(rng.integers(0, len(base)))
+            cut_b = int(rng.integers(0, len(other)))
+            base = base[:cut_a] + other[cut_b:]
+        _cross_check(bytes(base), f'mutated[{k}]')

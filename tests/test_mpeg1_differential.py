@@ -72,6 +72,91 @@ def test_single_frame_path_matches():
     assert _compare(es, use_scan=False) == 5
 
 
+def test_full_pel_bit_exact():
+    # full_pel_forward=1: MVs transmit in full-pel units, decoder doubles
+    # (reference src/mpeg1.js:187-196,414-418)
+    es, _ = encode_test_stream(96, 64, n_frames=8, seed=21, gop=4,
+                               full_pel=True)
+    assert _compare(es) == 8
+
+
+def test_full_pel_serial_path():
+    es, _ = encode_test_stream(80, 48, n_frames=6, seed=22, gop=3,
+                               full_pel=True, f_code=3)
+    assert _compare(es, use_scan=False) == 6
+
+
+def test_b_d_stubs_skipped():
+    # interleaved B/D pictures: decoder skips them and keeps byte
+    # position (reference src/mpeg1.js:182-184)
+    es, _ = encode_test_stream(96, 64, n_frames=9, seed=23, gop=3,
+                               b_stubs=True)
+    assert _compare(es) == 9
+
+
+def test_b_d_stubs_serial_path():
+    es, _ = encode_test_stream(64, 48, n_frames=7, seed=24, gop=7,
+                               b_stubs=True)
+    assert _compare(es, use_scan=False) == 7
+
+
+def test_macroblock_stuffing():
+    # VLC 34 consumed and ignored before address increments
+    # (reference src/mpeg1.js:311-317)
+    es, _ = encode_test_stream(96, 64, n_frames=6, seed=25, gop=3,
+                               stuffing=True)
+    assert _compare(es) == 6
+
+
+def test_midstream_headers_and_user_data():
+    # repeated sequence/GOP headers + user_data between pictures
+    es, _ = encode_test_stream(96, 64, n_frames=9, seed=26, gop=3,
+                               midstream_headers=True)
+    assert _compare(es) == 9
+
+
+def test_all_edge_paths_combined():
+    es, _ = encode_test_stream(112, 80, n_frames=12, seed=27, gop=4,
+                               full_pel=True, b_stubs=True, stuffing=True,
+                               midstream_headers=True)
+    assert _compare(es) == 12
+
+
+def test_edge_paths_mesh_decode():
+    # the packed mesh path sees the same quirky stream bit-exactly
+    from jsmpeg_tpu.host.native import native_available
+    if not native_available():
+        pytest.skip('native parser required')
+    from jsmpeg_tpu.parallel.mesh import make_mesh
+    from jsmpeg_tpu.parallel.packed import decode_packed_mesh
+    es, _ = encode_test_stream(96, 64, n_frames=9, seed=28, gop=3,
+                               full_pel=True, b_stubs=True, stuffing=True)
+    golden = OracleMPEG1(es).decode_all()
+    outs = decode_packed_mesh(es, make_mesh(n_gop=4, n_tile=2))
+    assert len(outs) == len(golden)
+    for i, ((gy, gcr, gcb), p) in enumerate(zip(golden, outs)):
+        np.testing.assert_array_equal(gy, np.asarray(p.y), err_msg=f'f{i}')
+        np.testing.assert_array_equal(gcr, np.asarray(p.cr), err_msg=f'f{i}')
+        np.testing.assert_array_equal(gcb, np.asarray(p.cb), err_msg=f'f{i}')
+
+
+def test_edge_paths_python_parser():
+    # the pure-Python parser handles the same branches (the native parser
+    # is the default; force the fallback)
+    es, _ = encode_test_stream(80, 48, n_frames=8, seed=29, gop=4,
+                               full_pel=True, b_stubs=True, stuffing=True,
+                               midstream_headers=True)
+    golden = OracleMPEG1(es).decode_all()
+    dec = MPEG1Decoder({'native': False})
+    dec.write(0.0, es)
+    outs = dec.decode_available(eof=True) or []
+    assert len(outs) == len(golden)
+    for i, ((gy, gcr, gcb), p) in enumerate(zip(golden, outs)):
+        np.testing.assert_array_equal(gy, np.asarray(p.y), err_msg=f'f{i}')
+        np.testing.assert_array_equal(gcr, np.asarray(p.cr), err_msg=f'f{i}')
+        np.testing.assert_array_equal(gcb, np.asarray(p.cb), err_msg=f'f{i}')
+
+
 def test_high_qscale_saturation():
     # large qscale drives dequant clamp paths (+/-2047/2048)
     es, _ = encode_test_stream(48, 32, n_frames=4, seed=8, gop=2, qscale=31)
