@@ -39,6 +39,9 @@ def main(argv=None) -> int:
                     help="shard offline decode over a device mesh: 'GxT' "
                          "(GOPs x macroblock tiles), an integer (GOP-"
                          "parallel), or 'auto' (all devices)")
+    ap.add_argument('--streaming', action='store_true',
+                    help='treat an http:// source as a live chunked '
+                         'stream (no Content-Length; the relay GET output)')
     ap.add_argument('--no-audio', action='store_true')
     ap.add_argument('--no-video', action='store_true')
     ap.add_argument('--audio-mode', choices=['exact', 'tpu'], default='exact')
@@ -69,6 +72,7 @@ def main(argv=None) -> int:
         'audio_mode': args.audio_mode,
         'loop': args.loop,
         'mesh': args.mesh,
+        'streaming': args.streaming,
     }
     t0 = time.monotonic()
     p = Player(args.source, options, renderer=renderer, audio_out=audio_out)

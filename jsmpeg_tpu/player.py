@@ -45,6 +45,12 @@ def make_source(target: Union[str, bytes, BaseSource],
             return WebSocketSource(target,
                                    reconnect_interval=cfg.reconnect_interval)
         if target.startswith(('http://', 'https://')):
+            if cfg.streaming:
+                # chunked/endless body, no Content-Length (the reference
+                # Fetch source role): pump incrementally, never HEAD
+                from .sources import HTTPStreamSource
+                return HTTPStreamSource(
+                    target, reconnect_interval=cfg.reconnect_interval)
             from .sources import HTTPSource
             return HTTPSource(target, chunk_size=cfg.chunk_size,
                               progressive=cfg.progressive,

@@ -128,19 +128,27 @@ class HTTPSource(BaseSource):
 
     def start(self) -> None:
         import urllib.request
-        if not self.progressive:
-            with urllib.request.urlopen(self.url) as r:
-                data = r.read()
-            self.established = True
-            self.completed = True
-            self.progress = 1.0
-            if self.destination is not None:
-                self.destination.write(data)
-            return
-        req = urllib.request.Request(self.url, method='HEAD')
-        with urllib.request.urlopen(req) as r:
-            self.file_size = int(r.headers.get('Content-Length', 0))
-        self.load_next_chunk()
+        if self.progressive:
+            req = urllib.request.Request(self.url, method='HEAD')
+            try:
+                with urllib.request.urlopen(req) as r:
+                    self.file_size = int(
+                        r.headers.get('Content-Length', 0) or 0)
+            except OSError:
+                self.file_size = 0
+            if self.file_size:
+                self.load_next_chunk()
+                return
+            # no usable Content-Length: fall through to a whole-body GET
+            # (bounded bodies only; endless ones need streaming=True ->
+            # HTTPStreamSource)
+        with urllib.request.urlopen(self.url) as r:
+            data = r.read()
+        self.established = True
+        self.completed = True
+        self.progress = 1.0
+        if self.destination is not None:
+            self.destination.write(data)
 
     def resume(self, seconds_headroom: float) -> None:
         if self.throttled and seconds_headroom <= 2.0:
@@ -174,6 +182,71 @@ class HTTPSource(BaseSource):
     def load_all(self) -> None:
         while not self.completed:
             self.load_next_chunk()
+
+
+class HTTPStreamSource(BaseSource):
+    """Reads a chunked/endless HTTP body incrementally and feeds the
+    demuxer as data arrives -- no Content-Length required (the reference
+    Fetch source's ReadableStream pump, src/fetch.js:22-62).  Plays the
+    relay's live HTTP output and any other progressive-download or
+    chunked-transfer URL.  Reconnects like the WebSocket source."""
+    streaming = True
+
+    def __init__(self, url: str, reconnect_interval: float = 5.0):
+        super().__init__()
+        self.url = url
+        self.reconnect_interval = reconnect_interval
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._pending: list = []
+        self._resp = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def destroy(self) -> None:
+        self._stop.set()
+        resp = self._resp
+        if resp is not None:
+            try:
+                resp.close()
+            except Exception:
+                pass
+
+    def _run(self) -> None:
+        import urllib.request
+        while not self._stop.is_set():
+            try:
+                resp = urllib.request.urlopen(self.url, timeout=10.0)
+                self._resp = resp
+                # read1 returns as soon as bytes arrive (one chunk), not
+                # when the full count fills -- the latency-relevant call
+                read = getattr(resp, 'read1', None) or resp.read
+                while not self._stop.is_set():
+                    chunk = read(65536)
+                    if not chunk:
+                        break
+                    self.established = True
+                    with self._lock:
+                        self._pending.append(chunk)
+            except OSError:
+                pass
+            finally:
+                self._resp = None
+            if self._stop.is_set():
+                return
+            self._stop.wait(self.reconnect_interval)
+
+    def drain(self) -> None:
+        """Deliver buffered chunks on the caller's thread (the player
+        tick pulls here so decoding stays single-owner)."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+        for chunk in pending:
+            if self.destination is not None:
+                self.destination.write(chunk)
 
 
 class PushSource(BaseSource):

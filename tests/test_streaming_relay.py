@@ -65,15 +65,21 @@ def _post_stream(port, ts, chunk=600, delay=0.002):
     s.close()
 
 
-@pytest.mark.parametrize('scheme', ['ws', 'tcp'])
+@pytest.mark.parametrize('scheme', ['ws', 'tcp', 'http'])
 def test_live_stream_end_to_end(relay, scheme):
+    """ws/tcp: push sources.  http: the relay serves the live TS back out
+    as an endless chunked body (no Content-Length) and HTTPStreamSource
+    pumps it incrementally -- the reference Fetch source role
+    (src/fetch.js:22-62)."""
     es, ts = _make_ts()
     golden = OracleMPEG1(es).decode_all()
 
-    url = (f'ws://127.0.0.1:{relay["ws"]}/' if scheme == 'ws'
-           else f'tcp://127.0.0.1:{relay["tcp"]}')
+    url = {'ws': f'ws://127.0.0.1:{relay["ws"]}/',
+           'tcp': f'tcp://127.0.0.1:{relay["tcp"]}',
+           'http': f'http://127.0.0.1:{relay["http"]}/live.ts'}[scheme]
     vc = VideoCollector()
-    p = Player(url, {'audio': False}, renderer=vc)
+    p = Player(url, {'audio': False, 'streaming': scheme == 'http'},
+               renderer=vc)
     p.play()
     time.sleep(0.4)   # let the client connect before streaming starts
 

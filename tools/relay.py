@@ -30,6 +30,7 @@ class Relay:
         self.secret = secret
         self.ws_clients: set[asyncio.StreamWriter] = set()
         self.tcp_clients: set[asyncio.StreamWriter] = set()
+        self.http_clients: set[asyncio.StreamWriter] = set()
         self.record = open(record, 'ab') if record else None
         self.bytes_in = 0
 
@@ -48,18 +49,32 @@ class Relay:
                 w.write(chunk)
             except Exception:
                 self.tcp_clients.discard(w)
+        hx = b'%x\r\n%s\r\n' % (len(chunk), chunk)   # chunked framing
+        for w in list(self.http_clients):
+            try:
+                w.write(hx)
+            except Exception:
+                self.http_clients.discard(w)
 
-    # ------------------------------------------------------------- HTTP in
+    # ---------------------------------------------------------- HTTP in/out
 
     async def handle_http(self, reader: asyncio.StreamReader,
                           writer: asyncio.StreamWriter) -> None:
+        """POST /<secret> ingests; GET streams the live TS back out as an
+        endless chunked body (no Content-Length -- the HTTPStreamSource /
+        reference-Fetch shape of delivery)."""
         try:
             head = await reader.readuntil(b'\r\n\r\n')
         except (asyncio.IncompleteReadError, asyncio.LimitOverrunError):
             writer.close()
             return
         request = head.split(b'\r\n')[0].decode('latin1')
-        path = request.split(' ')[1] if len(request.split(' ')) > 1 else '/'
+        parts = request.split(' ')
+        method = parts[0].upper() if parts else 'GET'
+        path = parts[1] if len(parts) > 1 else '/'
+        if method == 'GET':
+            await self._serve_http_out(reader, writer)
+            return
         if path.strip('/') != self.secret:
             writer.write(b'HTTP/1.1 403 Forbidden\r\n\r\n')
             await writer.drain()
@@ -76,6 +91,27 @@ class Relay:
         finally:
             print('relay: stream disconnected', flush=True)
             writer.close()
+
+    async def _serve_http_out(self, reader: asyncio.StreamReader,
+                              writer: asyncio.StreamWriter) -> None:
+        writer.write(b'HTTP/1.1 200 OK\r\n'
+                     b'Content-Type: video/mp2t\r\n'
+                     b'Transfer-Encoding: chunked\r\n'
+                     b'Cache-Control: no-store\r\n'
+                     b'Connection: close\r\n\r\n')
+        await writer.drain()
+        self.http_clients.add(writer)
+        print(f'relay: http client connected '
+              f'({len(self.http_clients)} total)', flush=True)
+        try:
+            while True:
+                data = await reader.read(4096)
+                if not data:
+                    break
+        finally:
+            self.http_clients.discard(writer)
+            writer.close()
+            print('relay: http client disconnected', flush=True)
 
     # -------------------------------------------------------------- WS out
 
