@@ -4,19 +4,37 @@ Prints ONE JSON line:
   {"metric": "720p_mpeg1_fps_e2e_per_chip", "value": N, "unit": "fps",
    "vs_baseline": N, ...extra stage metrics...}
 
-vs_baseline is relative to the reference's published sustained 720p rate
-(30 fps on its target device, reference README.md:5).  The BASELINE.json
-target is >10x a single WASM thread per chip, i.e. vs_baseline >= 10.
+value / vs_baseline use the MEDIAN of the measurement reps (the
+conservative figure on this shared single-core box, whose run-to-run
+times vary several-fold under outside load); the best rep rides along as
+fps_best.  vs_baseline is relative to the reference's published
+sustained 720p rate (30 fps on its target device, reference
+README.md:5); the BASELINE.json target is >10x per chip.
 
-End-to-end = TS-free elementary stream bytes in host memory -> threaded
-C++ VLC parse -> device dequant/IDCT/MC scan -> decoded planes resident on
-device (sinks fetch from there; bench blocks on the device arrays).
+Rows:
+  value/fps_best        ES bytes in host memory -> threaded C++ VLC parse
+                        -> device dequant/IDCT/MC scan -> planes on device
+  ts_e2e_fps            same but from .ts bytes: TS demux + PES reassembly
+                        (pure Python) included
+  host_parse_fps        C++ parse stage alone (single core)
+  device_pipeline_fps   device scan alone, wire buffer resident (execution
+                        forced by fetching output bytes, not only
+                        block_until_ready -- see device_probe_ms)
+  dense_28mbit_fps      pathological coefficient-dense stress stream
+  streaming_latency_ms  chunk-in -> decoded-frame-ready at 720p
+  mp2_frames_per_s      bit-exact C++ MP2 path
+
+`python bench.py --scaling` instead reports decode fps on virtual CPU
+meshes of 1/2/4/8 devices (functional scaling check only on this 1-core
+host: the virtual devices share the core, so ideal scaling is flat; on
+real multi-chip hardware the same harness measures true speedup).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -37,17 +55,27 @@ def build_stream():
     """Synthesize a 720p I/P stream with realistic coded statistics
     (~5 Mbit/s -- above the reference's recommended >=2 Mbit/s operating
     point for 720p, reference README.md:115,117).  No ffmpeg in the
-    image; fixtures are self-made."""
+    image; fixtures are self-made.  Returns (es, ts)."""
     from jsmpeg_tpu.testing.gen import encode_realistic_stream
+    from jsmpeg_tpu.testing.ts_mux import mux_video
     cache = f'/tmp/jsmpeg_tpu_bench_real_{W}x{H}_{N_FRAMES}.es'
-    if os.path.exists(cache):
+    cache_ts = cache[:-3] + '.ts'
+    if os.path.exists(cache) and os.path.exists(cache_ts):
         with open(cache, 'rb') as f:
-            return f.read()
-    es, _ = encode_realistic_stream(W, H, n_frames=N_FRAMES, seed=3,
-                                    gop=GOP)
+            es = f.read()
+        with open(cache_ts, 'rb') as f:
+            ts = f.read()
+        return es, ts
+    es, chunks = encode_realistic_stream(W, H, n_frames=N_FRAMES, seed=3,
+                                         gop=GOP)
+    v = chunks[:-1]
+    v[-1] = v[-1] + chunks[-1]
+    ts = mux_video(v, 30.0)
     with open(cache, 'wb') as f:
         f.write(es)
-    return es
+    with open(cache_ts, 'wb') as f:
+        f.write(ts)
+    return es, ts
 
 
 DENSE_FRAMES = 32
@@ -70,18 +98,19 @@ def build_dense_stream():
 
 def measure_streaming_latency():
     """Chunk-in to decoded-frame-ready latency on the live-streaming path
-    (BASELINE config 4; reference claims ~50 ms end-to-end over a local
-    network, README.md:3).  Feeds one video frame's TS packets at a time
-    through demux -> streaming decoder and times until the decoded planes
-    are device-ready.  Returns median milliseconds."""
+    at the SAME 720p operating point as the headline (BASELINE config 4;
+    the reference claims ~50 ms end-to-end over a local network,
+    README.md:3).  Feeds one video frame's TS packets at a time through
+    demux -> streaming decoder and times until the decoded planes are
+    device-ready.  Returns median milliseconds."""
     import jax
     from jsmpeg_tpu.demux import TSDemuxer
     from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
     from jsmpeg_tpu.testing.gen import encode_realistic_stream
     from jsmpeg_tpu.testing.ts_mux import TSMuxer
 
-    es, chunks = encode_realistic_stream(320, 240, n_frames=24, seed=5,
-                                         gop=8, frame_rate=30.0)
+    es, chunks = encode_realistic_stream(W, H, n_frames=12, seed=5,
+                                         gop=6, frame_rate=30.0)
     chunks = chunks[:-2] + [chunks[-2] + chunks[-1]]  # fold sequence end
     mux = TSMuxer()
     spans = []
@@ -111,11 +140,15 @@ def measure_streaming_latency():
     return sorted(lats)[len(lats) // 2] if lats else float('nan')
 
 
+def _median(xs):
+    return sorted(xs)[len(xs) // 2]
+
+
 def main():
     import jax
     from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
 
-    es = build_stream()
+    es, ts = build_stream()
 
     def run_e2e():
         dec = MPEG1Decoder()
@@ -127,26 +160,44 @@ def main():
     n = run_e2e()                       # compile warmup
     n = run_e2e()                       # discard: post-compile cache writes
                                         # contend for the single host CPU
-    # The tunneled transport + its localhost relay share one CPU with
-    # unrelated load, so rep times vary several-fold run to run for
-    # identical work.  Headline = best rep (the pipeline's sustained rate
-    # over 96 frames when the shared link isn't stalled); the median rides
-    # along as the conservative figure.
     times = []
     for _ in range(9):
         t0 = time.monotonic()
         n = run_e2e()
         times.append(time.monotonic() - t0)
-    e2e_fps = n / min(times)
-    e2e_fps_median = n / sorted(times)[len(times) // 2]
+    e2e_fps_median = n / _median(times)
+    e2e_fps_best = n / min(times)
 
-    # stage: host parse alone (threaded C++ batch)
+    # .ts-input e2e: TS demux + PES reassembly (pure Python) included
+    from jsmpeg_tpu.demux import TSDemuxer
+
+    def run_ts_e2e():
+        dem = TSDemuxer()
+        dec = MPEG1Decoder()
+        dem.connect(0xE0, dec)
+        dem.write(ts)
+        dem.flush()
+        outs = dec.decode_available(eof=True)
+        jax.block_until_ready(outs[-1].y)
+        return len(outs)
+
+    nt = run_ts_e2e()
+    ts_times = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        nt = run_ts_e2e()
+        ts_times.append(time.monotonic() - t0)
+    ts_fps = nt / _median(ts_times)
+
+    # stage: host parse alone (threaded C++ batch).  Measured in separate
+    # reps from e2e on a contended single-core box, so a parse rate below
+    # a concurrently-lucky e2e rate indicates outside load, not magic.
     from jsmpeg_tpu.host import best_parser
-    t0 = time.monotonic()
-    parser = best_parser()
-    parser.write(es)
-    parsed = 0
-    if hasattr(parser, 'parse_batch'):
+
+    def run_parse():
+        parser = best_parser()
+        parser.write(es)
+        parsed = 0
         while True:
             b = parser.parse_batch(32, eof=True)
             if not isinstance(b, dict):
@@ -154,15 +205,25 @@ def main():
             parsed += b['n']
             if b['n'] < 32:
                 break
-    parse_s = time.monotonic() - t0
-    parse_fps = parsed / parse_s if parse_s else 0.0
+        return parsed
+
+    parse_times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        parsed = run_parse()
+        parse_times.append(time.monotonic() - t0)
+    parse_fps = parsed / _median(parse_times)
 
     # stage: device pipeline alone (the SAME fused program the e2e path
-    # runs, with the wire buffer device-resident -- no extra jit variant:
-    # cold-cache compiles cost ~100 s each over the tunnel)
+    # runs, wire buffer device-resident).  block_until_ready alone proved
+    # untrustworthy over the tunneled transport in round 1 (BENCH_r01
+    # recorded 552k fps, far beyond HBM bandwidth), so execution is
+    # forced by FETCHING output bytes each rep; device_probe_ms reports
+    # both timings so the discrepancy stays visible.
     import jax.numpy as jnp
     from jsmpeg_tpu.models.mpeg1 import build_fused_buffer, decode_scan_fused
     from jsmpeg_tpu.ops.frame import Planes
+    from jsmpeg_tpu.utils import fetch
     dec = MPEG1Decoder()
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(32, eof=True)
@@ -178,12 +239,48 @@ def main():
     kw = dict(mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=32,
               n_blk=n_blk, n_runs=n_runs)
     r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
-    jax.block_until_ready(r[2].y)
+    np.asarray(fetch(r[2].y[-1]))       # warm + force
     t0 = time.monotonic()
     for _ in range(5):
         r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
         jax.block_until_ready(r[2].y)
-    device_fps = 32 * 5 / (time.monotonic() - t0)
+    block_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    for _ in range(5):
+        r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
+        np.asarray(fetch(r[2].y[-1]))   # pull one plane: forces execution
+    fetch_s = time.monotonic() - t0
+    device_fps = 32 * 5 / fetch_s
+
+    # A/B: XLA dequant+IDCT formulation vs the hand-scheduled Pallas
+    # fused kernel, on one realistic frame's blocks (JSMPEG_PALLAS_IDCT=1
+    # switches the decode pipelines to the Pallas path)
+    from jsmpeg_tpu.ops.idct import dequant_premult, idct_s32
+    from jsmpeg_tpu.ops.idct_pallas import dequant_idct_pallas
+    d2 = MPEG1Decoder()
+    d2.write(0.0, es)
+    lb = d2.parser.parse_batch(1, eof=True, sparse=False, packed=False)
+    lv = jnp.asarray(lb['levels'][0].astype(np.int32))
+    qs = jnp.asarray(lb['qscale'][0].astype(np.int32))
+    it = jnp.asarray(lb['intra'][0].astype(bool))
+
+    @jax.jit
+    def xla_path(lv, qs, it, iq, nq):
+        return idct_s32(dequant_premult(lv, qs, it, iq, nq)
+                        .reshape(-1, 6, 8, 8))
+
+    jax.block_until_ready(xla_path(lv, qs, it, iq, nq))
+    jax.block_until_ready(dequant_idct_pallas(lv, qs, it, iq, nq))
+    t0 = time.monotonic()
+    for _ in range(20):
+        r1 = xla_path(lv, qs, it, iq, nq)
+    jax.block_until_ready(r1)
+    idct_xla_ms = (time.monotonic() - t0) * 50
+    t0 = time.monotonic()
+    for _ in range(20):
+        r2 = dequant_idct_pallas(lv, qs, it, iq, nq)
+    jax.block_until_ready(r2)
+    idct_pallas_ms = (time.monotonic() - t0) * 50
 
     # secondary: the coefficient-dense stress stream, e2e (one 32-frame
     # batch: ~10 MB on the wire per run, and exactly one extra jit variant)
@@ -202,7 +299,7 @@ def main():
         t0 = time.monotonic()
         nd = run_dense()
         dtimes.append(time.monotonic() - t0)
-    dense_fps = nd / sorted(dtimes)[1]
+    dense_fps = nd / _median(dtimes)
 
     latency_ms = measure_streaming_latency()
 
@@ -220,15 +317,20 @@ def main():
 
     result = {
         'metric': '720p_mpeg1_fps_e2e_per_chip',
-        'value': round(e2e_fps, 2),
+        'value': round(e2e_fps_median, 2),
         'unit': 'fps',
-        'vs_baseline': round(e2e_fps / 30.0, 3),
-        'fps_median': round(e2e_fps_median, 2),
-        'device_pipeline_fps': round(device_fps, 2),
+        'vs_baseline': round(e2e_fps_median / 30.0, 3),
+        'fps_best': round(e2e_fps_best, 2),
+        'ts_e2e_fps': round(ts_fps, 2),
         'host_parse_fps': round(parse_fps, 2),
+        'device_pipeline_fps': round(device_fps, 2),
+        'device_probe_ms': {'block_until_ready': round(block_s * 200, 2),
+                            'fetch': round(fetch_s * 200, 2)},
         'dense_28mbit_fps': round(dense_fps, 2),
+        'idct_kernel_ms_per_frame': {'xla': round(idct_xla_ms, 3),
+                                     'pallas': round(idct_pallas_ms, 3)},
         'bitrate_mbit_s': round(len(es) * 8 * 30.0 / N_FRAMES / 1e6, 2),
-        'streaming_latency_ms': round(latency_ms, 1),
+        'streaming_latency_720p_ms': round(latency_ms, 1),
         'mp2_frames_per_s': round(mp2_fps, 1),
         'frames': n,
         'device': str(jax.devices()[0]),
@@ -236,5 +338,51 @@ def main():
     print(json.dumps(result))
 
 
+def scaling():
+    """Mesh-scaling harness: decode fps on ('gop','tile') meshes of
+    1/2/4/8 devices.  Run per shape in a subprocess so each gets a fresh
+    backend with the requested virtual device count (or real chips when
+    the platform exposes more than one)."""
+    shapes = [(1, 1), (2, 1), (4, 1), (8, 1), (4, 2)]
+    rows = []
+    for g, t in shapes:
+        n = g * t
+        code = (
+            "import os,time,json\n"
+            "os.environ['JAX_PLATFORMS']='cpu'\n"
+            f"os.environ['XLA_FLAGS']="
+            f"'--xla_force_host_platform_device_count={n}'\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms','cpu')\n"
+            "from jsmpeg_tpu.parallel.mesh import make_mesh\n"
+            "from jsmpeg_tpu.parallel.packed import decode_packed_mesh\n"
+            "from jsmpeg_tpu.testing.gen import encode_realistic_stream\n"
+            "es,_=encode_realistic_stream(640,360,n_frames=48,seed=3,"
+            "gop=6)\n"
+            f"mesh=make_mesh(n_gop={g},n_tile={t})\n"
+            "outs=decode_packed_mesh(es,mesh)\n"
+            "jax.block_until_ready(outs[-1].y)\n"
+            "t0=time.monotonic()\n"
+            "outs=decode_packed_mesh(es,mesh)\n"
+            "jax.block_until_ready(outs[-1].y)\n"
+            "print(json.dumps({'fps': len(outs)/(time.monotonic()-t0)}))\n")
+        import subprocess
+        out = subprocess.run([sys.executable, '-c', code],
+                             capture_output=True, text=True, timeout=600)
+        fps = None
+        for line in out.stdout.splitlines():
+            if line.startswith('{'):
+                fps = json.loads(line)['fps']
+        rows.append({'mesh': f'{g}x{t}', 'devices': n,
+                     'fps': round(fps, 2) if fps else None})
+    print(json.dumps({'metric': 'mesh_scaling_360p_cpu_virtual',
+                      'note': 'virtual devices share this host\'s single '
+                              'core: checks functionality, not speedup',
+                      'rows': rows}))
+
+
 if __name__ == '__main__':
-    main()
+    if '--scaling' in sys.argv:
+        scaling()
+    else:
+        main()

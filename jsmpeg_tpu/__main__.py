@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument('-o', '--y4m', help='write video to .y4m')
     ap.add_argument('--ppm', help='write frames as PPM files (pattern with %%d)')
     ap.add_argument('--wav', help='write audio to .wav')
+    ap.add_argument('--poster',
+                    help='write the first decoded frame to this .ppm '
+                         '(the data-poster analog)')
     ap.add_argument('--stats', action='store_true', help='print decode stats')
     ap.add_argument('--realtime', action='store_true',
                     help='pace decoding to wallclock')
@@ -73,6 +76,7 @@ def main(argv=None) -> int:
         'loop': args.loop,
         'mesh': args.mesh,
         'streaming': args.streaming,
+        'poster': args.poster,
     }
     t0 = time.monotonic()
     p = Player(args.source, options, renderer=renderer, audio_out=audio_out)

@@ -18,7 +18,7 @@ class PlayerConfig:
     autoplay: bool = False
     audio: bool = True
     video: bool = True
-    poster: Optional[str] = None
+    poster: Optional[str] = None            # write first frame here (.ppm)
     streaming: bool = False                 # EVICT buffers, latest-wins decode
     max_audio_lag: float = 0.25             # maxAudioLag
     video_buffer_size: int = 512 * 1024     # videoBufferSize
@@ -40,6 +40,11 @@ class PlayerConfig:
     on_source_completed: Optional[Callable] = None
 
     # TPU-specific
+    # audio synthesis: 'exact' = bit-exact host path (C++/float64 DAG);
+    # 'tpu' = MXU matmul synthesis batched on device -- float32, within
+    # ~3e-5 absolute of exact on non-saturated content; it cannot
+    # reproduce the reference's deliberate int32 accumulator wraparound
+    # on saturated noise (bounded by tests/test_mp2_differential)
     audio_mode: str = 'exact'               # 'exact' | 'tpu'
     batch_gop: bool = True                  # batch frames through lax.scan
     mesh: Any = None                        # parallel decode mesh (optional)

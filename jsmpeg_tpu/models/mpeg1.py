@@ -10,6 +10,7 @@ on device with the reference planes as the scan carry.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -19,6 +20,31 @@ import numpy as np
 from ..host.mpeg1_parse import FrameData, MPEG1Parser
 from ..ops.frame import FrameArrays, LevelsArrays, Planes, \
     decode_frame_planes, decode_frame_step, levels_to_frame
+
+# JSMPEG_PALLAS_IDCT=1 routes the levels-wire scans through the
+# hand-scheduled Pallas fused dequant+IDCT kernel instead of the XLA
+# formulation (same integer semantics, bit-exact: tests/test_dequant_
+# device.py).  Trace-time flag: set it before the first decode of the
+# process.  bench.py reports an A/B kernel timing for both.
+USE_PALLAS_IDCT = os.environ.get('JSMPEG_PALLAS_IDCT', '') == '1'
+
+
+def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
+                     mb_h: int, mb_w: int):
+    """Shared lax.scan step for every levels-wire pipeline: dequant +
+    IDCT + MC + assembly for one frame (flag-routed kernel choice)."""
+    if USE_PALLAS_IDCT:
+        from ..ops.idct_pallas import dequant_idct_pallas
+        resid = dequant_idct_pallas(la.levels, la.qscale, la.intra,
+                                    intra_q, non_intra_q,
+                                    interpret=jax.default_backend() == 'cpu')
+        # fr.coef goes unused when resid is passed; XLA dead-code
+        # eliminates the duplicate dequant
+        fr = levels_to_frame(la, intra_q, non_intra_q)
+        return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w,
+                                 resid=resid.reshape(-1, 6, 8, 8))
+    fr = levels_to_frame(la, intra_q, non_intra_q)
+    return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w)
 
 
 def frame_to_arrays(f: FrameData, valid: bool = True) -> FrameArrays:
@@ -73,10 +99,8 @@ def decode_scan_levels(cur: Planes, fwd: Planes, stacked: LevelsArrays,
     """Raw-levels pipeline: dequant+premultiply fused into the per-frame
     step (XLA fuses it with the IDCT), planes carried across the scan."""
 
-    def step(carry, la):
-        f = levels_to_frame(la, intra_q, non_intra_q)
-        return decode_frame_step(carry, f, mb_h=mb_h, mb_w=mb_w)
-
+    step = functools.partial(levels_scan_step, intra_q=intra_q,
+                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
@@ -95,10 +119,8 @@ def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
     flat = flat.at[sp_idx].set(sp_val, mode='drop')
     stacked = rest._replace(levels=flat.reshape(f, n_mb, 6, 64))
 
-    def step(carry, la):
-        fr = levels_to_frame(la, intra_q, non_intra_q)
-        return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w)
-
+    step = functools.partial(levels_scan_step, intra_q=intra_q,
+                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
@@ -242,10 +264,8 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
     stacked = packed_to_levels(flags, cbp, mv16, sp_pos, sp_val, valid,
                                n_blk)
 
-    def step(carry, la):
-        fr = levels_to_frame(la, intra_q, non_intra_q)
-        return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w)
-
+    step = functools.partial(levels_scan_step, intra_q=intra_q,
+                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 

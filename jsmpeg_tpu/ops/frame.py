@@ -102,10 +102,13 @@ def _combine(base: jnp.ndarray, resid: jnp.ndarray, coded: jnp.ndarray,
 
 
 def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
-                        mb_h: int, mb_w: int) -> Planes:
+                        mb_h: int, mb_w: int,
+                        resid: jnp.ndarray = None) -> Planes:
     """One picture: returns the decoded planes (the caller handles the
-    current/forward rotation)."""
-    resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))      # [n_mb, 6, 8, 8]
+    current/forward rotation).  `resid` overrides the IDCT of f.coef with
+    precomputed [n_mb, 6, 8, 8] residuals (the Pallas fused-kernel path)."""
+    if resid is None:
+        resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))  # [n_mb, 6, 8, 8]
 
     ry = assemble_luma(resid[:, :4], mb_h, mb_w)
     rcb = assemble_chroma(resid[:, 4], mb_h, mb_w)
@@ -136,14 +139,15 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     )
 
 
-def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int):
+def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int,
+                      resid: jnp.ndarray = None):
     """lax.scan step over the frames of a GOP.
 
     carry = (cur, fwd): `fwd` is the reference (last decoded I/P picture),
     `cur` is the stale buffer being overwritten (the reference's pointer
     rotation at src/mpeg1.js:220-246 expressed as a scan carry)."""
     cur, fwd = carry
-    out = decode_frame_planes(cur, fwd, f, mb_h, mb_w)
+    out = decode_frame_planes(cur, fwd, f, mb_h, mb_w, resid=resid)
 
     def keep(old, new):
         return jnp.where(f.valid, new, old)

@@ -95,7 +95,8 @@ def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 
 def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
                               mb_h_local: int, mb_w: int, halo_mb: int,
-                              mb_h_total: int, axis: str = 'tile') -> Planes:
+                              mb_h_total: int, axis: str = 'tile',
+                              resid=None) -> Planes:
     """Per-shard frame decode; `f` arrays hold this shard's MBs only."""
     tile_idx = jax.lax.axis_index(axis)
     row0_y = tile_idx.astype(jnp.int32) * (mb_h_local * 16)
@@ -103,7 +104,8 @@ def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
     halo_y = halo_mb * 16
     halo_c = halo_mb * 8
 
-    resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))
+    if resid is None:
+        resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))
     ry = assemble_luma(resid[:, :4], mb_h_local, mb_w)
     rcb = assemble_chroma(resid[:, 4], mb_h_local, mb_w)
     rcr = assemble_chroma(resid[:, 5], mb_h_local, mb_w)
@@ -141,10 +143,10 @@ def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
 
 
 def _tiled_step(carry, f: FrameArrays, mb_h_local: int, mb_w: int,
-                halo_mb: int, mb_h_total: int, axis: str):
+                halo_mb: int, mb_h_total: int, axis: str, resid=None):
     cur, fwd = carry
     out = decode_frame_planes_tiled(cur, fwd, f, mb_h_local, mb_w,
-                                    halo_mb, mb_h_total, axis)
+                                    halo_mb, mb_h_total, axis, resid=resid)
 
     def keep(old, new):
         return jnp.where(f.valid, new, old)
@@ -254,10 +256,18 @@ def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
 
 def _levels_step(carry, la, intra_q, non_intra_q, mb_h_local: int,
                  mb_w: int, halo_mb: int, mb_h_total: int, axis: str):
+    from ..models.mpeg1 import USE_PALLAS_IDCT
     from ..ops.frame import levels_to_frame
     f = levels_to_frame(la, intra_q, non_intra_q)
+    resid = None
+    if USE_PALLAS_IDCT:
+        from ..ops.idct_pallas import dequant_idct_pallas
+        resid = dequant_idct_pallas(la.levels, la.qscale, la.intra,
+                                    intra_q, non_intra_q,
+                                    interpret=jax.default_backend() == 'cpu')
+        resid = resid.reshape(-1, 6, 8, 8)
     return _tiled_step(carry, f, mb_h_local, mb_w, halo_mb, mb_h_total,
-                       axis)
+                       axis, resid=resid)
 
 
 @functools.partial(jax.jit, static_argnames=('mb_h_pad', 'mb_w', 'halo_mb',

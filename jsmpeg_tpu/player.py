@@ -62,6 +62,40 @@ def make_source(target: Union[str, bytes, BaseSource],
     raise TypeError(f'unsupported source: {type(target)}')
 
 
+class _PosterTee:
+    """Renderer wrapper writing the first decoded frame (the
+    decodeFirstFrame preview) to a PPM file -- the headless analog of the
+    reference's poster image shown before playback
+    (/root/reference/src/video-element.js:63-73)."""
+
+    def __init__(self, inner, path: str):
+        self._inner = inner
+        self._path = path
+        self._written = False
+
+    def render(self, y, cr, cb) -> None:
+        if not self._written:
+            self._written = True
+            from .ops.color import ycbcr_to_rgb_int
+            from .utils import fetch
+            w = getattr(self._inner, 'width', 0) or y.shape[1]
+            h = getattr(self._inner, 'height', 0) or y.shape[0]
+            rgb = fetch(ycbcr_to_rgb_int(y, cr, cb, w, h))
+            with open(self._path, 'wb') as f:
+                f.write(b'P6\n%d %d\n255\n' % (w, h))
+                f.write(rgb.tobytes())
+        self._inner.render(y, cr, cb)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def __setattr__(self, name, value):
+        if name.startswith('_'):
+            object.__setattr__(self, name, value)
+        else:
+            setattr(self._inner, name, value)
+
+
 class Player:
     def __init__(self, source: Union[str, bytes, BaseSource],
                  options: Optional[dict] = None,
@@ -101,6 +135,8 @@ class Player:
         self.video: Optional[MPEG1Decoder] = None
         self.audio: Optional[MP2Decoder] = None
         self.renderer = renderer if renderer is not None else NullVideoSink()
+        if cfg.poster:
+            self.renderer = _PosterTee(self.renderer, cfg.poster)
         self.audio_out = audio_out if audio_out is not None else \
             (PacedAudioSink(NullAudioSink()) if self.streaming
              else NullAudioSink())

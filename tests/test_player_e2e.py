@@ -46,6 +46,49 @@ def test_offline_av_decode_matches_oracles(av_ts):
     assert np.array_equal(got[1], gr)
 
 
+def test_offline_audio_mode_tpu():
+    """Player.decode_offline with audio_mode='tpu' batches every audio
+    frame through the device matmul synthesis; on non-saturated content
+    (real audio: the int32 U accumulator stays linear) output stays
+    within the documented float bound of the exact path."""
+    es, chunks = encode_test_stream(64, 48, n_frames=6, seed=12, gop=3,
+                                    frame_rate=25.0)
+    audio_es, audio_frames = mp2_stream(10, seed=13, sf_range=(24, 63))
+    vframes = chunks[:-1]
+    vframes[-1] = vframes[-1] + chunks[-1]
+    ts = mux_av(vframes, 25.0, audio_frames, 1152, 44100)
+    ac = PCMCollector()
+    p = Player(ts, {'progressive': False, 'audio_mode': 'tpu',
+                    'video': False}, audio_out=ac)
+    _, n_audio = p.decode_offline()
+    golden_a = OracleMP2(audio_es).decode_all()
+    assert n_audio == len(golden_a) == 10
+    got = ac.pcm
+    gl = np.concatenate([f[0] for f in golden_a])
+    gr = np.concatenate([f[1] for f in golden_a])
+    np.testing.assert_allclose(got[0], gl, atol=3e-5)
+    np.testing.assert_allclose(got[1], gr, atol=3e-5)
+
+
+def test_poster_written(av_ts, tmp_path):
+    """cfg.poster writes the decodeFirstFrame preview as a PPM (the
+    data-poster analog of the reference video element)."""
+    ts, video_es, _ = av_ts
+    poster = tmp_path / 'poster.ppm'
+    vc = VideoCollector()
+    p = Player(ts, {'progressive': False, 'poster': str(poster),
+                    'audio': False}, renderer=vc)
+    p.decode_offline()
+    data = poster.read_bytes()
+    assert data.startswith(b'P6\n64 48\n255\n')
+    # poster pixels = RGB of the first decoded frame
+    from jsmpeg_tpu.ops.color import ycbcr_to_rgb_int
+    from jsmpeg_tpu.utils import fetch
+    gy, gcr, gcb = OracleMPEG1(video_es).decode_all()[0]
+    rgb = fetch(ycbcr_to_rgb_int(gy, gcr, gcb, 64, 48))
+    assert data.split(b'\n', 3)[3] == rgb.tobytes()
+
+
 def test_tick_driven_av_sync(av_ts):
     ts, video_es, audio_es = av_ts
     vc, ac = VideoCollector(), PCMCollector()
