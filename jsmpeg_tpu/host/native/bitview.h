@@ -50,11 +50,23 @@ struct BitView {
   int64_t len = 0;       // valid bytes
   int64_t index = 0;     // bit position
 
+  // one unaligned 64-bit load + byte swap per peek (the owning buffer
+  // pads >= 8 readable bytes past len); supports count <= 57
+  static inline uint64_t load_be64(const uint8_t* p) {
+    uint64_t w;
+    std::memcpy(&w, p, 8);
+#if defined(__clang__) || defined(__GNUC__)
+    return __builtin_bswap64(w);
+#else
+    return ((w & 0xFFull) << 56) | ((w & 0xFF00ull) << 40) |
+           ((w & 0xFF0000ull) << 24) | ((w & 0xFF000000ull) << 8) |
+           ((w >> 8) & 0xFF000000ull) | ((w >> 24) & 0xFF0000ull) |
+           ((w >> 40) & 0xFF00ull) | (w >> 56);
+#endif
+  }
+
   inline uint32_t peek(int count) const {
-    const uint8_t* p = data + (index >> 3);
-    uint64_t w = ((uint64_t)p[0] << 56) | ((uint64_t)p[1] << 48) |
-                 ((uint64_t)p[2] << 40) | ((uint64_t)p[3] << 32) |
-                 ((uint64_t)p[4] << 24);
+    uint64_t w = load_be64(data + (index >> 3));
     return (uint32_t)((w << (index & 7)) >> (64 - count));
   }
 

@@ -304,11 +304,17 @@ struct PictureParser {
     }
 
     while (true) {
-      int32_t packed = vlc(bits, VLC_DCT_COEFF, VLC_DCT_COEFF_BITS);
-      if (packed == INT32_MIN) { error = true; return; }
-      if (packed == 0x0001 && n > 0 && bits.read(1) == 0) break;
+      // one 24-bit window per coefficient: VLC code (<= 16 bits), the
+      // EOB/'11' discriminator bit, and the sign bit all come from the
+      // same peek (the per-coefficient hot path)
+      uint32_t win = bits.peek(24);
+      uint32_t enc = VLC_DCT_COEFF[win >> (24 - VLC_DCT_COEFF_BITS)];
+      int nb = enc >> 24;
+      if (nb == 0) { error = true; return; }
+      int32_t packed = (int32_t)(enc & 0xFFFFFF) - 0x800000;
       int32_t run, level;
       if (packed == 0xFFFF) {                 // escape
+        bits.skip(nb);
         run = bits.read(6);
         level = bits.read(8);
         if (level == 0) level = bits.read(8);
@@ -317,9 +323,18 @@ struct PictureParser {
         if (level == 0) leaky = true;  // escape-coded zero: device dequant
                                        // cannot reproduce oddify(0)=+1
       } else {
+        int consume = nb;
+        if (packed == 0x0001 && n > 0) {
+          consume++;
+          if (((win >> (24 - consume)) & 1) == 0) {   // end of block
+            bits.skip(consume);
+            break;
+          }
+        }
         run = packed >> 8;
         level = packed & 0xFF;
-        if (bits.read(1)) level = -level;
+        if ((win >> (23 - consume)) & 1) level = -level;
+        bits.skip(consume + 1);
       }
       bool first_coeff = (n == (intra ? 1 : 0));
       n += run;
