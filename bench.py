@@ -108,6 +108,7 @@ def measure_streaming_latency():
     from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
     from jsmpeg_tpu.testing.gen import encode_realistic_stream
     from jsmpeg_tpu.testing.ts_mux import TSMuxer
+    from jsmpeg_tpu.utils import fetch
 
     es, chunks = encode_realistic_stream(W, H, n_frames=12, seed=5,
                                          gop=6, frame_rate=30.0)
@@ -131,7 +132,10 @@ def measure_streaming_latency():
             dem.write(ts_chunk)
             out = dec.decode()
             if out is not None:
-                jax.block_until_ready(out.y)
+                # fetch-forced: block_until_ready lies on this transport.
+                # Includes one small-readback RPC (the honest 'frame is
+                # consumable' point).
+                np.asarray(fetch(out.y[0, :4]))
                 lats.append((time.monotonic() - t0) * 1000.0)
         return lats
 
@@ -150,11 +154,20 @@ def main():
 
     es, ts = build_stream()
 
+    from jsmpeg_tpu.utils import fetch
+
+    def force(plane):
+        # block_until_ready returns early over this transport (measured);
+        # fetching output bytes is the only trustworthy completion fence.
+        # The last batch's scan depends on every earlier batch through the
+        # reference-plane carry, so forcing it forces the whole run.
+        np.asarray(fetch(plane[0, :4]))
+
     def run_e2e():
         dec = MPEG1Decoder()
         dec.write(0.0, es)
         outs = dec.decode_available(eof=True)
-        jax.block_until_ready(outs[-1].y)
+        force(outs[-1].y)
         return len(outs)
 
     n = run_e2e()                       # compile warmup
@@ -178,7 +191,7 @@ def main():
         dem.write(ts)
         dem.flush()
         outs = dec.decode_available(eof=True)
-        jax.block_until_ready(outs[-1].y)
+        force(outs[-1].y)
         return len(outs)
 
     nt = run_ts_e2e()
@@ -290,7 +303,7 @@ def main():
         d = MPEG1Decoder()
         d.write(0.0, es_dense)
         o = d.decode_available(eof=True)
-        jax.block_until_ready(o[-1].y)
+        force(o[-1].y)
         return len(o)
 
     nd = run_dense()

@@ -30,7 +30,7 @@ USE_PALLAS_IDCT = os.environ.get('JSMPEG_PALLAS_IDCT', '') == '1'
 
 
 def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
-                     mb_h: int, mb_w: int):
+                     mb_h: int, mb_w: int, band_halo: int = None):
     """Shared lax.scan step for every levels-wire pipeline: dequant +
     IDCT + MC + assembly for one frame (flag-routed kernel choice)."""
     if USE_PALLAS_IDCT:
@@ -42,9 +42,11 @@ def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
         # eliminates the duplicate dequant
         fr = levels_to_frame(la, intra_q, non_intra_q)
         return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w,
-                                 resid=resid.reshape(-1, 6, 8, 8))
+                                 resid=resid.reshape(-1, 6, 8, 8),
+                                 band_halo=band_halo)
     fr = levels_to_frame(la, intra_q, non_intra_q)
-    return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w)
+    return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w,
+                             band_halo=band_halo)
 
 
 def frame_to_arrays(f: FrameData, valid: bool = True) -> FrameArrays:
@@ -92,24 +94,25 @@ def decode_scan(cur: Planes, fwd: Planes, stacked: FrameArrays,
     return cur, fwd, outs
 
 
-@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w'))
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'band_halo'))
 def decode_scan_levels(cur: Planes, fwd: Planes, stacked: LevelsArrays,
                        intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
-                       mb_h: int, mb_w: int):
+                       mb_h: int, mb_w: int, band_halo: int = None):
     """Raw-levels pipeline: dequant+premultiply fused into the per-frame
     step (XLA fuses it with the IDCT), planes carried across the scan."""
 
     step = functools.partial(levels_scan_step, intra_q=intra_q,
-                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w)
+                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
+                             band_halo=band_halo)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
 
-@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w'))
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'band_halo'))
 def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
                        sp_val: jnp.ndarray, rest: LevelsArrays,
                        intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
-                       mb_h: int, mb_w: int):
+                       mb_h: int, mb_w: int, band_halo: int = None):
     """Sparse-coefficient pipeline: (index, value) pairs scatter into the
     dense level lattice on device (bandwidth-bound hosts upload ~10x fewer
     bytes), then the raw-levels scan runs unchanged.  Padding entries carry
@@ -120,7 +123,8 @@ def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
     stacked = rest._replace(levels=flat.reshape(f, n_mb, 6, 64))
 
     step = functools.partial(levels_scan_step, intra_q=intra_q,
-                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w)
+                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
+                             band_halo=band_halo)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
@@ -150,8 +154,8 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int):
     o += R
     run_cbp = buf[o:o + R]
     o += R
-    run_mv = jax.lax.bitcast_convert_type(
-        buf[o:o + 4 * R].reshape(R, 2, 2), jnp.int16)
+    run_mv32 = jax.lax.bitcast_convert_type(
+        buf[o:o + 4 * R].reshape(R, 4), jnp.int32)
     o += 4 * R
     sp_pos = buf[o:o + P]
     o += P
@@ -163,34 +167,41 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int):
     eslot = jnp.clip(jnp.cumsum(is_esc.astype(jnp.int32)) - 1, 0, E - 1)
     sp_val = jnp.where(is_esc, sp_esc[eslot], sp_v8.astype(jnp.int16))
 
-    # expand runs -> per-MB streams (padding runs have length 0; MBs past
-    # the last real run -- only invalid padding frames -- read benign 0s)
-    ends = jnp.cumsum(run_len.astype(jnp.int32))
-    slot = jnp.searchsorted(ends, jnp.arange(F * n_mb, dtype=jnp.int32),
-                            side='right')
-    flags = jnp.take(run_flags, slot, mode='fill',
-                     fill_value=0).reshape(F, n_mb)
-    cbp = jnp.take(run_cbp, slot, mode='fill',
-                   fill_value=0).reshape(F, n_mb)
-    mv16 = jnp.take(run_mv, slot, axis=0, mode='fill',
-                    fill_value=0).reshape(F, n_mb, 2)
+    # expand runs -> per-MB streams.  Run slot per MB via start-scatter +
+    # cumulative max: one small scatter + a log-depth scan + two gathers
+    # beat searchsorted + four gathers (measured ~4x on v5e; gathers cost
+    # ~5 ns/element there).  Padding runs have length 0; MBs past the
+    # last real run (only invalid padding frames) read the last run's
+    # values, which the valid mask discards.
+    lens = run_len.astype(jnp.int32)
+    starts = jnp.cumsum(lens) - lens
+    base = jnp.zeros((F * n_mb,), jnp.int32).at[starts].max(
+        jnp.arange(R, dtype=jnp.int32), mode='drop')
+    slot = jax.lax.associative_scan(jnp.maximum, base)
+    meta = jnp.take(run_flags.astype(jnp.int32)
+                    | (run_cbp.astype(jnp.int32) << 8), slot)
+    flags = (meta & 0xFF).astype(jnp.uint8).reshape(F, n_mb)
+    cbp = ((meta >> 8) & 0xFF).astype(jnp.uint8).reshape(F, n_mb)
+    mv16 = jax.lax.bitcast_convert_type(
+        jnp.take(run_mv32, slot), jnp.int16).reshape(F, n_mb, 2)
     return valid, flags, cbp, mv16, sp_pos, sp_val
 
 
 @functools.partial(jax.jit,
                    static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
-                                    'n_runs'))
+                                    'n_runs', 'band_halo'))
 def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                       mb_h: int, mb_w: int, n_frames: int, n_blk: int,
-                      n_runs: int):
+                      n_runs: int, band_halo: int = None):
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links);
     see unpack_fused for the wire layout."""
     valid, flags, cbp, mv16, sp_pos, sp_val = unpack_fused(
         buf, n_frames, mb_h * mb_w, n_runs)
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
-                        intra_q, non_intra_q, valid, mb_h, mb_w, n_blk)
+                        intra_q, non_intra_q, valid, mb_h, mb_w, n_blk,
+                        band_halo)
 
 
 # coefficient-scatter segment size: XLA compile time for one big scatter
@@ -254,28 +265,31 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
         mv_v=mv16[..., 1].astype(jnp.int32), valid=valid)
 
 
-@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk'))
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk',
+                                              'band_halo'))
 def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        cbp: jnp.ndarray, mv16: jnp.ndarray,
                        sp_pos: jnp.ndarray, sp_val: jnp.ndarray,
                        intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
-                       valid: jnp.ndarray, mb_h: int, mb_w: int, n_blk: int):
+                       valid: jnp.ndarray, mb_h: int, mb_w: int, n_blk: int,
+                       band_halo: int = None):
     """Packed-wire pipeline: see packed_to_levels for the wire format."""
     stacked = packed_to_levels(flags, cbp, mv16, sp_pos, sp_val, valid,
                                n_blk)
 
     step = functools.partial(levels_scan_step, intra_q=intra_q,
-                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w)
+                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
+                             band_halo=band_halo)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
 
 def _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val, intra_q,
-                 non_intra_q, valid, mb_h, mb_w, n_blk):
+                 non_intra_q, valid, mb_h, mb_w, n_blk, band_halo=None):
     return decode_scan_packed.__wrapped__(cur, fwd, flags, cbp, mv16,
                                           sp_pos, sp_val, intra_q,
                                           non_intra_q, valid, mb_h, mb_w,
-                                          n_blk)
+                                          n_blk, band_halo)
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
@@ -698,6 +712,17 @@ class MPEG1Decoder:
                  jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)))
         return self._quant_dev
 
+    @staticmethod
+    def _band_halo(batch) -> Optional[int]:
+        """Static band bucket for the one-hot MC from the batch's actual
+        vertical MVs (host-side, cheap); None = full-height windows."""
+        from ..ops.motion import band_halo_for
+        mv = batch.get('run_mv')
+        mv_v = mv[:, 1] if mv is not None and mv.size else \
+            batch['mv'][..., 1] if 'mv' in batch else None
+        m = int(np.abs(mv_v).max()) if mv_v is not None and mv_v.size else 0
+        return band_halo_for(m) or None
+
     def _dispatch_packed(self, batch, n_frames=None):
         """Upload one packed batch as a single fused byte buffer and
         dispatch its device scan (async).  One transfer per batch: the
@@ -711,7 +736,7 @@ class MPEG1Decoder:
         self._cur, self._fwd, outs = decode_scan_fused(
             self._cur, self._fwd, dev, iq, nq,
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F, n_blk=n_blk,
-            n_runs=n_runs)
+            n_runs=n_runs, band_halo=self._band_halo(batch))
         return outs
 
     def _dispatch_batch(self, batch, n_frames=None):
@@ -747,13 +772,15 @@ class MPEG1Decoder:
             sp_idx, sp_val, rest = jax.device_put((sp_idx, sp_val, rest))
             self._cur, self._fwd, outs = decode_scan_sparse(
                 self._cur, self._fwd, sp_idx, sp_val, rest, iq, nq,
-                mb_h=seq.mb_height, mb_w=seq.mb_width)
+                mb_h=seq.mb_height, mb_w=seq.mb_width,
+                band_halo=self._band_halo(batch))
         else:
             stacked = LevelsArrays(levels=batch['levels'], **common)
             stacked = jax.device_put(stacked)
             self._cur, self._fwd, outs = decode_scan_levels(
                 self._cur, self._fwd, stacked, iq, nq,
-                mb_h=seq.mb_height, mb_w=seq.mb_width)
+                mb_h=seq.mb_height, mb_w=seq.mb_width,
+                band_halo=self._band_halo(batch))
         return outs
 
     def _decode_available_batch(self, eof: bool, outs_all: 'FrameSeq',

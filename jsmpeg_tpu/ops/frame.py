@@ -103,10 +103,13 @@ def _combine(base: jnp.ndarray, resid: jnp.ndarray, coded: jnp.ndarray,
 
 def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
                         mb_h: int, mb_w: int,
-                        resid: jnp.ndarray = None) -> Planes:
+                        resid: jnp.ndarray = None,
+                        band_halo: int = None) -> Planes:
     """One picture: returns the decoded planes (the caller handles the
     current/forward rotation).  `resid` overrides the IDCT of f.coef with
-    precomputed [n_mb, 6, 8, 8] residuals (the Pallas fused-kernel path)."""
+    precomputed [n_mb, 6, 8, 8] residuals (the Pallas fused-kernel path);
+    `band_halo` (static, luma rows) bounds MV reach for the band-limited
+    one-hot motion compensation (ops/motion.py)."""
     if resid is None:
         resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))  # [n_mb, 6, 8, 8]
 
@@ -122,11 +125,18 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     intra_y = _mb_mask_luma(f.intra, mb_h, mb_w)
     intra_c = _mask_chroma(f.intra, mb_h, mb_w)
 
-    pred_y = motion_compensate(fwd.y, f.mv_h, f.mv_v, mb_h, mb_w, 16)
+    # chroma needs halo_y/2 rounded UP plus the half-pel tap: +8 covers
+    # the worst negative-MV floor-division case (|cmv>>1| can exceed
+    # |mv>>1|/2 by one row)
+    halo_c = band_halo // 2 + 8 if band_halo else None
+    pred_y = motion_compensate(fwd.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,
+                               band_halo=band_halo)
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
-    pred_cr = motion_compensate(fwd.cr, cmh, cmv, mb_h, mb_w, 8)
-    pred_cb = motion_compensate(fwd.cb, cmh, cmv, mb_h, mb_w, 8)
+    pred_cr = motion_compensate(fwd.cr, cmh, cmv, mb_h, mb_w, 8,
+                                band_halo=halo_c)
+    pred_cb = motion_compensate(fwd.cb, cmh, cmv, mb_h, mb_w, 8,
+                                band_halo=halo_c)
 
     base_y = jnp.where(written_y, pred_y, cur.y.astype(jnp.int32))
     base_cr = jnp.where(written_c, pred_cr, cur.cr.astype(jnp.int32))
@@ -140,14 +150,15 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
 
 
 def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int,
-                      resid: jnp.ndarray = None):
+                      resid: jnp.ndarray = None, band_halo: int = None):
     """lax.scan step over the frames of a GOP.
 
     carry = (cur, fwd): `fwd` is the reference (last decoded I/P picture),
     `cur` is the stale buffer being overwritten (the reference's pointer
     rotation at src/mpeg1.js:220-246 expressed as a scan carry)."""
     cur, fwd = carry
-    out = decode_frame_planes(cur, fwd, f, mb_h, mb_w, resid=resid)
+    out = decode_frame_planes(cur, fwd, f, mb_h, mb_w, resid=resid,
+                              band_halo=band_halo)
 
     def keep(old, new):
         return jnp.where(f.valid, new, old)

@@ -2,8 +2,8 @@
 
 The reference compensates one macroblock at a time with four hand-unrolled
 half-pel cases (/root/reference/src/mpeg1.js:459-687).  On TPU we do the
-whole frame in one shot: motion vectors broadcast per-pixel, a 4-tap gather,
-and ONE universal rounding formula
+whole frame in one shot: per-MB (block+1)x(block+1) source windows, the
+four taps as static window shifts, and ONE universal rounding formula
 
     pred = (A + B + C + D + 2) >> 2,   B/C/D offset by (odd_h, odd_v)
 
@@ -11,10 +11,21 @@ which is bit-exact for all four parities:
   - odd_h = odd_v = 1: the reference's (a+b+c+d+2)>>2        (identical)
   - one odd:           (2(a+b)+2)>>2 == (a+b+1)>>1           (exact identity)
   - none:              (4a+2)>>2 == a                        (exact identity)
+
+Two window-extraction formulations, chosen at trace time:
+  - 'onehot' (device default): two one-hot matmuls ride the MXU.  XLA
+    lowers an arbitrary 2D gather to ~5 ns/element on TPU (~28 ms per
+    720p frame, measured -- the whole pipeline's bottleneck); the matmul
+    formulation is EXACT (pixels 0..255 and one-hot rows are exact in
+    bfloat16; the MXU accumulates in float32, and each dot picks exactly
+    one pixel) and runs at MXU speed.
+  - 'gather' (CPU default): the straightforward 4-tap gather (a one-hot
+    matmul on a 1-core CPU host would be absurdly slow).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -24,11 +35,8 @@ def _pixel_mv(mv: jnp.ndarray, mb_h: int, mb_w: int, block: int):
     return jnp.repeat(jnp.repeat(grid, block, axis=0), block, axis=1)
 
 
-def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
-                      mb_h: int, mb_w: int, block: int) -> jnp.ndarray:
-    """ref: uint8 [H, W] reference plane; mv_*: int32 [n_mb] in this plane's
-    half-pel units (chroma callers pass the /2-truncated vectors).
-    Returns int32 [H, W] prediction."""
+def _mc_gather(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+               mb_h: int, mb_w: int, block: int) -> jnp.ndarray:
     H, W = ref.shape
     mvh = _pixel_mv(mv_h, mb_h, mb_w, block)
     mvv = _pixel_mv(mv_v, mb_h, mb_w, block)
@@ -52,6 +60,138 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     c = g(sy + oy, sx)
     d = g(sy + oy, sx + ox)
     return jnp.right_shift(a + b + c + d + 2, 2)
+
+
+def _mc_onehot(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+               mb_h: int, mb_w: int, block: int) -> jnp.ndarray:
+    H, W = ref.shape
+    B1 = block + 1
+    vy = jnp.right_shift(mv_v, 1).reshape(mb_h, mb_w)
+    vx = jnp.right_shift(mv_h, 1).reshape(mb_h, mb_w)
+    oy = (mv_v & 1).reshape(mb_h, mb_w).astype(bool)
+    ox = (mv_h & 1).reshape(mb_h, mb_w).astype(bool)
+
+    base_r = (jnp.arange(mb_h, dtype=jnp.int32) * block)[:, None, None]
+    base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
+    taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
+    # per-(MB, tap) source coordinates, clamped exactly like the gather
+    # path clamps each tap (window row r == sy + r_offset)
+    rows = jnp.clip(base_r + vy[:, :, None] + taps, 0, H - 1)
+    cols = jnp.clip(base_c + vx[:, :, None] + taps, 0, W - 1)
+
+    refb = ref.astype(jnp.bfloat16)
+    oh_r = (rows[..., None] ==
+            jnp.arange(H, dtype=jnp.int32)).astype(jnp.bfloat16)
+    # [mb_h, mb_w, B1, W]: pick the B1 source rows of every MB (MXU)
+    win_r = jnp.einsum('abrh,hw->abrw', oh_r, refb,
+                       preferred_element_type=jnp.float32)
+    oh_c = (cols[..., None] ==
+            jnp.arange(W, dtype=jnp.int32)).astype(jnp.bfloat16)
+    # [mb_h, mb_w, B1, B1]: pick the B1 source columns (batched MXU)
+    win = jnp.einsum('abrw,abcw->abrc', win_r.astype(jnp.bfloat16), oh_c,
+                     preferred_element_type=jnp.float32)
+    win = win.astype(jnp.int32)
+
+    a = win[:, :, :block, :block]
+    oy4 = oy[:, :, None, None]
+    ox4 = ox[:, :, None, None]
+    b = jnp.where(ox4, win[:, :, :block, 1:], a)
+    c = jnp.where(oy4, win[:, :, 1:, :block], a)
+    d = jnp.where(oy4, jnp.where(ox4, win[:, :, 1:, 1:],
+                                 win[:, :, 1:, :block]),
+                  jnp.where(ox4, win[:, :, :block, 1:], a))
+    pred = jnp.right_shift(a + b + c + d + 2, 2)
+    return pred.transpose(0, 2, 1, 3).reshape(H, W)
+
+
+def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+                    mb_h: int, mb_w: int, block: int,
+                    band_halo: int) -> jnp.ndarray:
+    """Band-limited one-hot MC: every MB row's sources live within
+    `band_halo` rows of its origin (callers derive band_halo from the
+    batch's actual MVs, so the bound always holds for the data decoded).
+    The band rides edge-replicated padding, which IS the frame-edge
+    clamp; columns contract first so the big matmul runs over the small
+    [band, W] operand and the intermediates stay ~10 MB at 720p (vs a
+    full-H one-hot's 150+ MB)."""
+    H, W = ref.shape
+    B1 = block + 1
+    assert band_halo % block == 0
+    K = band_halo // block
+    nwin = 2 * K + 1
+    band_rows = nwin * block
+
+    vy = jnp.right_shift(mv_v, 1).reshape(mb_h, mb_w)
+    vx = jnp.right_shift(mv_h, 1).reshape(mb_h, mb_w)
+    oy = (mv_v & 1).reshape(mb_h, mb_w).astype(bool)
+    ox = (mv_h & 1).reshape(mb_h, mb_w).astype(bool)
+
+    # padded[i] == ref[clip(i - band_halo, 0, H-1)] -> band[r, j] ==
+    # ref[clip(r*block + j - band_halo, 0, H-1)]: clamp by construction
+    padded = jnp.concatenate([
+        jnp.repeat(ref[:1], band_halo, axis=0), ref,
+        jnp.repeat(ref[-1:], band_halo, axis=0)]).astype(jnp.bfloat16)
+    band = jnp.stack(
+        [padded[k * block:k * block + mb_h * block].reshape(mb_h, block, W)
+         for k in range(nwin)], axis=1).reshape(mb_h, band_rows, W)
+
+    taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
+    base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
+    rows = jnp.clip(vy[:, :, None] + taps + band_halo, 0, band_rows - 1)
+    cols = jnp.clip(base_c + vx[:, :, None] + taps, 0, W - 1)
+
+    oh_c = (cols[..., None] ==
+            jnp.arange(W, dtype=jnp.int32)).astype(jnp.bfloat16)
+    # columns first: [mb_h, mb_w, band_rows, B1]
+    win_c = jnp.einsum('ahw,abcw->abhc', band, oh_c,
+                       preferred_element_type=jnp.float32)
+    oh_r = (rows[..., None] ==
+            jnp.arange(band_rows, dtype=jnp.int32)).astype(jnp.bfloat16)
+    win = jnp.einsum('abrh,abhc->abrc', oh_r, win_c.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    win = win.astype(jnp.int32)
+
+    a = win[:, :, :block, :block]
+    oy4 = oy[:, :, None, None]
+    ox4 = ox[:, :, None, None]
+    b = jnp.where(ox4, win[:, :, :block, 1:], a)
+    c = jnp.where(oy4, win[:, :, 1:, :block], a)
+    d = jnp.where(oy4, jnp.where(ox4, win[:, :, 1:, 1:],
+                                 win[:, :, 1:, :block]),
+                  jnp.where(ox4, win[:, :, :block, 1:], a))
+    pred = jnp.right_shift(a + b + c + d + 2, 2)
+    return pred.transpose(0, 2, 1, 3).reshape(H, W)
+
+
+def band_halo_for(max_abs_mv: int, block: int = 16) -> int:
+    """Smallest band halo (multiple of `block`) covering a batch's
+    largest |vertical MV| in half-pel units (+1 row for the half-pel
+    tap).  Bucketed so the jit-variant count stays tiny."""
+    need = ((max_abs_mv + 1) >> 1) + 1
+    for h in (block, 2 * block, 4 * block, 8 * block):
+        if need <= h:
+            return h
+    return 0          # beyond buckets: callers fall back to full-height
+
+
+def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+                      mb_h: int, mb_w: int, block: int,
+                      method: str = None,
+                      band_halo: int = None) -> jnp.ndarray:
+    """ref: uint8 [H, W] reference plane; mv_*: int32 [n_mb] in this plane's
+    half-pel units (chroma callers pass the /2-truncated vectors).
+    Returns int32 [H, W] prediction.  method: 'onehot' | 'gather' | None
+    (auto: onehot on accelerators, gather on CPU).  band_halo (static,
+    multiple of block, covering the data's true MV reach) selects the
+    cheap band-limited one-hot on accelerators."""
+    if method is None:
+        method = 'gather' if jax.default_backend() == 'cpu' else 'onehot'
+    if method == 'onehot':
+        if band_halo and band_halo < mb_h * block:
+            return _mc_onehot_band(ref, mv_h, mv_v, mb_h, mb_w, block,
+                                   band_halo)
+        return _mc_onehot(ref, mv_h, mv_v, mb_h, mb_w, block)
+    return _mc_gather(ref, mv_h, mv_v, mb_h, mb_w, block)
 
 
 def chroma_mv(mv: jnp.ndarray) -> jnp.ndarray:

@@ -63,7 +63,20 @@ def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 
     ref: int-or-uint8 [halo + rows_local + halo, W]; mv in this plane's
     half-pel units; row0 = first global row of the local slab;
-    total_rows = global plane height (for the frame-edge clamp)."""
+    total_rows = global plane height (for the frame-edge clamp).
+
+    Same formulation split as ops/motion.py: one-hot MXU matmuls on
+    accelerators (arbitrary gathers cost ~5 ns/element on TPU), the
+    plain 4-tap gather on CPU."""
+    if jax.default_backend() == 'cpu':
+        return _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local, mb_w, block,
+                                halo, row0, total_rows)
+    return _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local, mb_w, block,
+                            halo, row0, total_rows)
+
+
+def _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
+                     block: int, halo: int, row0, total_rows: int):
     H_local = mb_h_local * block
     W = mb_w * block
     grid_h = jnp.repeat(jnp.repeat(mv_h.reshape(mb_h_local, mb_w), block, 0),
@@ -91,6 +104,50 @@ def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     c = g(sy + oy, sx)
     d = g(sy + oy, sx + ox)
     return jnp.right_shift(a + b + c + d + 2, 2)
+
+
+def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
+                     block: int, halo: int, row0, total_rows: int):
+    """One-hot matmul window extraction over the halo'd slab (exact: see
+    ops/motion.py _mc_onehot; the double clamp -- frame edge in global
+    rows, then slab bounds -- composes into the window row indices)."""
+    W = mb_w * block
+    B1 = block + 1
+    ext_rows = ref.shape[0]
+    vy = jnp.right_shift(mv_v, 1).reshape(mb_h_local, mb_w)
+    vx = jnp.right_shift(mv_h, 1).reshape(mb_h_local, mb_w)
+    oy = (mv_v & 1).reshape(mb_h_local, mb_w).astype(bool)
+    ox = (mv_h & 1).reshape(mb_h_local, mb_w).astype(bool)
+
+    base_r = (jnp.arange(mb_h_local, dtype=jnp.int32) * block)[:, None, None]
+    base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
+    taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
+    rows_g = jnp.clip(base_r + row0 + vy[:, :, None] + taps,
+                      0, total_rows - 1)             # frame-edge clamp
+    rows = jnp.clip(rows_g - row0 + halo, 0, ext_rows - 1)   # slab-local
+    cols = jnp.clip(base_c + vx[:, :, None] + taps, 0, W - 1)
+
+    refb = ref.astype(jnp.bfloat16)
+    oh_r = (rows[..., None] ==
+            jnp.arange(ext_rows, dtype=jnp.int32)).astype(jnp.bfloat16)
+    win_r = jnp.einsum('abrh,hw->abrw', oh_r, refb,
+                       preferred_element_type=jnp.float32)
+    oh_c = (cols[..., None] ==
+            jnp.arange(W, dtype=jnp.int32)).astype(jnp.bfloat16)
+    win = jnp.einsum('abrw,abcw->abrc', win_r.astype(jnp.bfloat16), oh_c,
+                     preferred_element_type=jnp.float32)
+    win = win.astype(jnp.int32)
+
+    a = win[:, :, :block, :block]
+    oy4 = oy[:, :, None, None]
+    ox4 = ox[:, :, None, None]
+    b = jnp.where(ox4, win[:, :, :block, 1:], a)
+    c = jnp.where(oy4, win[:, :, 1:, :block], a)
+    d = jnp.where(oy4, jnp.where(ox4, win[:, :, 1:, 1:],
+                                 win[:, :, 1:, :block]),
+                  jnp.where(ox4, win[:, :, :block, 1:], a))
+    pred = jnp.right_shift(a + b + c + d + 2, 2)
+    return pred.transpose(0, 2, 1, 3).reshape(mb_h_local * block, W)
 
 
 def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,

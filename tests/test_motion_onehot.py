@@ -1,0 +1,107 @@
+"""The one-hot-matmul motion-compensation formulation (MXU path on
+accelerators) must equal the 4-tap gather formulation bit-for-bit,
+including frame-edge clamps, all half-pel parities, and out-of-range
+motion vectors -- for both the whole-frame and the halo'd-slab (tiled)
+variants."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip('jax')
+import jax.numpy as jnp  # noqa: E402
+
+from jsmpeg_tpu.ops.motion import _mc_gather, _mc_onehot  # noqa: E402
+from jsmpeg_tpu.parallel.tiles import (_mc_tiled_gather,  # noqa: E402
+                                       _mc_tiled_onehot)
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_frame_mc_onehot_equals_gather(seed):
+    rng = np.random.default_rng(seed)
+    mb_h = int(rng.integers(2, 6))
+    mb_w = int(rng.integers(2, 7))
+    block = int(rng.choice([8, 16]))
+    H, W = mb_h * block, mb_w * block
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    # out-of-range MVs included: every clamp path
+    mv_h = rng.integers(-2 * W, 2 * W, mb_h * mb_w).astype(np.int32)
+    mv_v = rng.integers(-2 * H, 2 * H, mb_h * mb_w).astype(np.int32)
+    a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(mv_h),
+                              jnp.asarray(mv_v), mb_h, mb_w, block))
+    b = np.asarray(_mc_onehot(jnp.asarray(ref), jnp.asarray(mv_h),
+                              jnp.asarray(mv_v), mb_h, mb_w, block))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_frame_mc_band_equals_gather(seed):
+    """The band-limited one-hot (the device fast path) equals the gather
+    formulation whenever the band covers the data's MV reach -- which the
+    pipeline guarantees by deriving the halo from the batch's actual MVs
+    (band_halo_for)."""
+    from jsmpeg_tpu.ops.motion import _mc_onehot_band, band_halo_for
+    rng = np.random.default_rng(200 + seed)
+    mb_h = int(rng.integers(3, 7))
+    mb_w = int(rng.integers(2, 7))
+    block = int(rng.choice([8, 16]))
+    H, W = mb_h * block, mb_w * block
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    reach = int(rng.choice([7, 29, 61]))      # -> halo buckets 8/16/32...
+    mv_h = rng.integers(-2 * W, 2 * W, mb_h * mb_w).astype(np.int32)
+    mv_v = rng.integers(-reach, reach + 1, mb_h * mb_w).astype(np.int32)
+    halo = band_halo_for(int(np.abs(mv_v).max()), block=block)
+    assert halo
+    a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(mv_h),
+                              jnp.asarray(mv_v), mb_h, mb_w, block))
+    b = np.asarray(_mc_onehot_band(jnp.asarray(ref), jnp.asarray(mv_h),
+                                   jnp.asarray(mv_v), mb_h, mb_w, block,
+                                   halo))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_band_halo_chroma_bound():
+    """decode_frame_planes derives the chroma halo from the luma one;
+    the worst negative-MV floor-division case must stay in band."""
+    from jsmpeg_tpu.ops.motion import (_mc_onehot_band, band_halo_for,
+                                       chroma_mv)
+    rng = np.random.default_rng(7)
+    mb_h, mb_w, block = 4, 4, 8
+    H, W = mb_h * block, mb_w * block
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    for mv_extreme in (-62, 62, -61, 61, -30, 29):
+        halo_y = band_halo_for(abs(mv_extreme))
+        halo_c = halo_y // 2 + 8
+        mv = np.full(mb_h * mb_w, mv_extreme, np.int32)
+        cm = np.asarray(chroma_mv(jnp.asarray(mv)))
+        a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(cm),
+                                  jnp.asarray(cm), mb_h, mb_w, block))
+        b = np.asarray(_mc_onehot_band(jnp.asarray(ref), jnp.asarray(cm),
+                                       jnp.asarray(cm), mb_h, mb_w, block,
+                                       halo_c))
+        np.testing.assert_array_equal(a, b, err_msg=str(mv_extreme))
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_tiled_mc_onehot_equals_gather(seed):
+    rng = np.random.default_rng(100 + seed)
+    mb_h_local = int(rng.integers(2, 5))
+    mb_w = int(rng.integers(2, 6))
+    block = int(rng.choice([8, 16]))
+    halo_mb = 2
+    halo = halo_mb * block
+    n_tiles = 3
+    total_rows = mb_h_local * block * n_tiles
+    tile = int(rng.integers(0, n_tiles))
+    row0 = jnp.int32(tile * mb_h_local * block)
+    W = mb_w * block
+    ext = rng.integers(0, 256,
+                       (halo + mb_h_local * block + halo, W)).astype(np.uint8)
+    reach = halo // 2
+    mv_h = rng.integers(-2 * W, 2 * W, mb_h_local * mb_w).astype(np.int32)
+    mv_v = rng.integers(-2 * reach, 2 * reach + 1,
+                        mb_h_local * mb_w).astype(np.int32)
+    args = (jnp.asarray(ext), jnp.asarray(mv_h), jnp.asarray(mv_v),
+            mb_h_local, mb_w, block, halo, row0, total_rows)
+    a = np.asarray(_mc_tiled_gather(*args))
+    b = np.asarray(_mc_tiled_onehot(*args))
+    np.testing.assert_array_equal(a, b)
