@@ -85,6 +85,66 @@ def test_cli_offline_mesh(stream, tmp_path):
     assert out.stat().st_size > 0
 
 
+def _dense_mixed_stream():
+    """32 sparse I/P frames (one packed batch) followed by an all-dense
+    intra GOP that overflows the packed caps (every block carries 64
+    coefficients) -> the parser's r==-3 dense retry."""
+    from jsmpeg_tpu.testing.bitwriter import BitWriter
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    from jsmpeg_tpu.testing.mpeg1_enc import MB, MPEG1Encoder
+    es, _ = encode_test_stream(48, 48, n_frames=32, seed=41, gop=8)
+    es = es[:-4]                             # drop sequence_end
+    enc = MPEG1Encoder(48, 48, qscale=1)
+    enc._temporal_ref = 32
+    rng = np.random.default_rng(5)
+    parts = [es]
+    for _ in range(4):
+        enc.w = BitWriter()
+        mbs = []
+        for _ in range(enc.mb_w * enc.mb_h):
+            levels = []
+            for b in range(6):
+                lv = rng.integers(1, 4, 64) * rng.choice((-1, 1), 64)
+                lv[0] = int(rng.integers(1, 200))
+                levels.append(lv)
+            mbs.append(MB('intra', levels=levels))
+        enc.encode_picture(1, mbs)           # T.PIC_I
+        parts.append(enc.getvalue())
+    parts.append(b'\x00\x00\x01\xb7')
+    return b''.join(parts)
+
+
+def test_mesh_dense_fallback_mid_stream():
+    """A coefficient-dense batch (packed-cap overflow) mid-stream runs on
+    the default device while packed GOPs ride the mesh; the carry threads
+    through both, bit-exact vs serial."""
+    from jsmpeg_tpu.host import best_parser
+    es = _dense_mixed_stream()
+    # the stream really produces both batch kinds
+    p = best_parser()
+    p.write(es)
+    kinds = []
+    while True:
+        b = p.parse_batch(32, eof=True)
+        if not isinstance(b, dict):
+            break
+        kinds.append('packed' if 'sp_pos' in b else 'dense')
+        if b['n'] < 32:
+            break
+    assert 'dense' in kinds and 'packed' in kinds, kinds
+
+    ref = _serial_planes(es)
+    mesh = make_mesh(n_gop=4, n_tile=1)
+    dec = MPEG1Decoder()
+    dec.write(0.0, es)
+    outs = dec.decode_available(eof=True, mesh=mesh)
+    assert len(outs) == len(ref)
+    for i, pl in enumerate(outs):
+        got = (np.asarray(pl.y), np.asarray(pl.cr), np.asarray(pl.cb))
+        for a, b in zip(got, ref[i]):
+            np.testing.assert_array_equal(a, b, err_msg=f'frame {i}')
+
+
 def test_resolve_mesh_forms():
     from jsmpeg_tpu.parallel.mesh import resolve_mesh
     assert resolve_mesh(None) is None
