@@ -173,6 +173,13 @@ def test_pallas_idct_flag_bit_exact(monkeypatch):
         jax.clear_caches()
 
 
+def test_1080p_bit_exact():
+    # the reference claims 1080p playback works on desktop
+    # (/root/reference/README.md:117); prove decode parity at that size
+    es, _ = encode_test_stream(1920, 1080, n_frames=2, seed=51, gop=2)
+    assert _compare(es) == 2
+
+
 def test_high_qscale_saturation():
     # large qscale drives dequant clamp paths (+/-2047/2048)
     es, _ = encode_test_stream(48, 32, n_frames=4, seed=8, gop=2, qscale=31)
