@@ -250,7 +250,8 @@ def main():
     iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
     nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
     kw = dict(mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=32,
-              n_blk=n_blk, n_runs=n_runs)
+              n_blk=n_blk, n_runs=n_runs,
+              band_halo=MPEG1Decoder._band_halo(batch))
     r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
     np.asarray(fetch(r[2].y[-1]))       # warm + force
     t0 = time.monotonic()

@@ -870,6 +870,10 @@ class MPEG1Decoder:
                                         outs.cr[gi, :, :rows >> 1],
                                         outs.cb[gi, :, :rows >> 1]), gn))
 
+        # bounded device/host memory for arbitrarily long files: flush a
+        # mesh dispatch once every device has ~BATCH_FRAMES frames queued
+        # (one jit variant; outputs render-and-release per flush)
+        flush_limit = self.BATCH_FRAMES * mesh.shape['gop']
         needs_serial = False
         while True:
             batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
@@ -888,6 +892,8 @@ class MPEG1Decoder:
                     break
                 continue
             pending.extend(split_packed_frames(batch))
+            if len(pending) >= flush_limit:
+                flush()
             if batch['n'] < self.BATCH_FRAMES:
                 break
         flush()

@@ -62,6 +62,26 @@ def _mc_gather(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     return jnp.right_shift(a + b + c + d + 2, 2)
 
 
+def combine_taps(win: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
+                 block: int) -> jnp.ndarray:
+    """(block+1)^2 source windows -> half-pel-averaged block predictions.
+
+    win: int32 [mb_h, mb_w, block+1, block+1]; oy/ox: bool [mb_h, mb_w]
+    half-pel parity per MB.  The four taps are static window shifts;
+    returns int32 [mb_h*block, mb_w*block] (assembled plane layout)."""
+    mb_h, mb_w = win.shape[:2]
+    a = win[:, :, :block, :block]
+    oy4 = oy[:, :, None, None]
+    ox4 = ox[:, :, None, None]
+    b = jnp.where(ox4, win[:, :, :block, 1:], a)
+    c = jnp.where(oy4, win[:, :, 1:, :block], a)
+    d = jnp.where(oy4, jnp.where(ox4, win[:, :, 1:, 1:],
+                                 win[:, :, 1:, :block]),
+                  jnp.where(ox4, win[:, :, :block, 1:], a))
+    pred = jnp.right_shift(a + b + c + d + 2, 2)
+    return pred.transpose(0, 2, 1, 3).reshape(mb_h * block, mb_w * block)
+
+
 def _mc_onehot(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                mb_h: int, mb_w: int, block: int) -> jnp.ndarray:
     H, W = ref.shape
@@ -90,18 +110,7 @@ def _mc_onehot(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     # [mb_h, mb_w, B1, B1]: pick the B1 source columns (batched MXU)
     win = jnp.einsum('abrw,abcw->abrc', win_r.astype(jnp.bfloat16), oh_c,
                      preferred_element_type=jnp.float32)
-    win = win.astype(jnp.int32)
-
-    a = win[:, :, :block, :block]
-    oy4 = oy[:, :, None, None]
-    ox4 = ox[:, :, None, None]
-    b = jnp.where(ox4, win[:, :, :block, 1:], a)
-    c = jnp.where(oy4, win[:, :, 1:, :block], a)
-    d = jnp.where(oy4, jnp.where(ox4, win[:, :, 1:, 1:],
-                                 win[:, :, 1:, :block]),
-                  jnp.where(ox4, win[:, :, :block, 1:], a))
-    pred = jnp.right_shift(a + b + c + d + 2, 2)
-    return pred.transpose(0, 2, 1, 3).reshape(H, W)
+    return combine_taps(win.astype(jnp.int32), oy, ox, block)
 
 
 def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
@@ -149,18 +158,7 @@ def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
             jnp.arange(band_rows, dtype=jnp.int32)).astype(jnp.bfloat16)
     win = jnp.einsum('abrh,abhc->abrc', oh_r, win_c.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
-    win = win.astype(jnp.int32)
-
-    a = win[:, :, :block, :block]
-    oy4 = oy[:, :, None, None]
-    ox4 = ox[:, :, None, None]
-    b = jnp.where(ox4, win[:, :, :block, 1:], a)
-    c = jnp.where(oy4, win[:, :, 1:, :block], a)
-    d = jnp.where(oy4, jnp.where(ox4, win[:, :, 1:, 1:],
-                                 win[:, :, 1:, :block]),
-                  jnp.where(ox4, win[:, :, :block, 1:], a))
-    pred = jnp.right_shift(a + b + c + d + 2, 2)
-    return pred.transpose(0, 2, 1, 3).reshape(H, W)
+    return combine_taps(win.astype(jnp.int32), oy, ox, block)
 
 
 def band_halo_for(max_abs_mv: int, block: int = 16) -> int:

@@ -165,9 +165,10 @@ def _replicated(x, mesh):
         x.shape, NamedSharding(mesh, P()), lambda idx: x[idx])
 
 
-def _gather_local_gops(arr, my_rows: range, G: int):
+def _gather_local_gops(arr, G: int):
     """Stitch this host's addressable shards of a [G, F, rows, W] output
-    into {gi: np [F, rows, W]} without any cross-host transfer."""
+    into {gi: np [F, rows, W]} -- the row filtering comes from
+    addressable_shards itself (no cross-host transfer)."""
     out: Dict[int, np.ndarray] = {}
     shape = arr.shape
     for sh in arr.addressable_shards:
@@ -290,9 +291,9 @@ def decode_packed_multihost(es: bytes, n_tile: int = 1, f_code: int = 2):
 
     # readout: this host's shards only (no cross-host gathers)
     rows = mb_h * 16
-    y_loc = _gather_local_gops(outs.y, my_rows, G)
-    cr_loc = _gather_local_gops(outs.cr, my_rows, G)
-    cb_loc = _gather_local_gops(outs.cb, my_rows, G)
+    y_loc = _gather_local_gops(outs.y, G)
+    cr_loc = _gather_local_gops(outs.cr, G)
+    cb_loc = _gather_local_gops(outs.cb, G)
     frame_base = np.concatenate(
         [[0], np.cumsum([r[2] for r in ranges])]).astype(int)
     my_frames, my_planes = [], []

@@ -136,18 +136,8 @@ def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
             jnp.arange(W, dtype=jnp.int32)).astype(jnp.bfloat16)
     win = jnp.einsum('abrw,abcw->abrc', win_r.astype(jnp.bfloat16), oh_c,
                      preferred_element_type=jnp.float32)
-    win = win.astype(jnp.int32)
-
-    a = win[:, :, :block, :block]
-    oy4 = oy[:, :, None, None]
-    ox4 = ox[:, :, None, None]
-    b = jnp.where(ox4, win[:, :, :block, 1:], a)
-    c = jnp.where(oy4, win[:, :, 1:, :block], a)
-    d = jnp.where(oy4, jnp.where(ox4, win[:, :, 1:, 1:],
-                                 win[:, :, 1:, :block]),
-                  jnp.where(ox4, win[:, :, :block, 1:], a))
-    pred = jnp.right_shift(a + b + c + d + 2, 2)
-    return pred.transpose(0, 2, 1, 3).reshape(mb_h_local * block, W)
+    from ..ops.motion import combine_taps
+    return combine_taps(win.astype(jnp.int32), oy, ox, block)
 
 
 def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,

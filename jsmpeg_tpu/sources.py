@@ -218,6 +218,7 @@ class HTTPStreamSource(BaseSource):
     def _run(self) -> None:
         import urllib.request
         while not self._stop.is_set():
+            clean_eof = False
             try:
                 resp = urllib.request.urlopen(self.url, timeout=10.0)
                 self._resp = resp
@@ -227,14 +228,24 @@ class HTTPStreamSource(BaseSource):
                 while not self._stop.is_set():
                     chunk = read(65536)
                     if not chunk:
+                        clean_eof = True
                         break
                     self.established = True
                     with self._lock:
                         self._pending.append(chunk)
-            except OSError:
+            except Exception:
+                # aborted chunked bodies raise http.client exceptions
+                # (IncompleteRead etc.), not just OSError; any failure
+                # here means "reconnect", never "kill the reader thread"
                 pass
             finally:
                 self._resp = None
+            if clean_eof:
+                # server ended the stream cleanly: complete, don't replay
+                # the body from byte 0 (the reference Fetch source also
+                # finishes when the ReadableStream ends, src/fetch.js:40-46)
+                self.completed = True
+                return
             if self._stop.is_set():
                 return
             self._stop.wait(self.reconnect_interval)

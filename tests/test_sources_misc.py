@@ -2,6 +2,7 @@
 
 import http.server
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -113,3 +114,80 @@ def test_volume_property():
     a.play(44100, l, l)
     np.testing.assert_array_equal(a.chunks[0][0], l)
     np.testing.assert_allclose(a.chunks[1][0], l * np.float32(0.25))
+
+
+def test_http_stream_source_clean_eof_completes():
+    """A finite chunked body ends the HTTPStreamSource cleanly: completed
+    is set and the body is NOT replayed from byte 0 (only errors
+    reconnect -- the reference Fetch source also finishes when the
+    stream ends)."""
+    import socket
+
+    from jsmpeg_tpu.sources import HTTPStreamSource
+
+    payload = b'0123456789abcdef' * 64
+    served = []
+
+    def serve(sock):
+        conn, _ = sock.accept()
+        conn.recv(4096)
+        conn.sendall(b'HTTP/1.1 200 OK\r\n'
+                     b'Content-Type: video/mp2t\r\n'
+                     b'Transfer-Encoding: chunked\r\n\r\n')
+        for i in range(0, len(payload), 256):
+            chunk = payload[i:i + 256]
+            conn.sendall(b'%x\r\n%s\r\n' % (len(chunk), chunk))
+        conn.sendall(b'0\r\n\r\n')          # clean chunked EOF
+        conn.close()
+        served.append(True)
+
+    sock = socket.socket()
+    sock.bind(('127.0.0.1', 0))
+    sock.listen(1)
+    port = sock.getsockname()[1]
+    t = threading.Thread(target=serve, args=(sock,), daemon=True)
+    t.start()
+
+    got = []
+
+    class Dest:
+        def write(self, b):
+            got.append(bytes(b))
+
+    src = HTTPStreamSource(f'http://127.0.0.1:{port}/live.ts',
+                           reconnect_interval=0.05)
+    src.connect(Dest())
+    src.start()
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline and not src.completed:
+        src.drain()
+        time.sleep(0.01)
+    src.drain()
+    assert src.completed
+    assert b''.join(got) == payload          # exactly once, no replay
+    src.destroy()
+    sock.close()
+
+
+def test_mesh_flush_limit_bounds_pending():
+    """Long inputs flush the mesh decode in bounded chunks (the
+    retain=False memory contract); the carry threads across flushes so
+    output stays bit-exact even when a flush splits a GOP."""
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.parallel.mesh import make_mesh
+
+    es, _ = encode_test_stream(48, 48, n_frames=20, seed=61, gop=5)
+    ref_dec = MPEG1Decoder()
+    ref_dec.write(0.0, es)
+    ref = [(np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
+           for p in ref_dec.decode_available(eof=True)]
+
+    dec = MPEG1Decoder()
+    dec.BATCH_FRAMES = 4                 # flush_limit = 4 * n_gop = 8
+    dec.write(0.0, es)
+    outs = dec.decode_available(eof=True, mesh=make_mesh(n_gop=2, n_tile=1))
+    assert len(outs) == len(ref) == 20
+    for i, p in enumerate(outs):
+        got = (np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
+        for a, b in zip(got, ref[i]):
+            np.testing.assert_array_equal(a, b, err_msg=f'frame {i}')
