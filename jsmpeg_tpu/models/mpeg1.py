@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..host.mpeg1_parse import FrameData, MPEG1Parser
+from ..ops.cumsum import indicator_cumsum
 from ..ops.frame import FrameArrays, LevelsArrays, Planes, \
     decode_frame_planes, decode_frame_step, levels_to_frame
 
@@ -164,20 +165,25 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int):
     sp_esc = jax.lax.bitcast_convert_type(
         buf[o:o + 2 * E].reshape(E, 2), jnp.int16)
     is_esc = sp_v8 == -128
-    eslot = jnp.clip(jnp.cumsum(is_esc.astype(jnp.int32)) - 1, 0, E - 1)
+    eslot = jnp.clip(indicator_cumsum(is_esc) - 1, 0, E - 1)
     sp_val = jnp.where(is_esc, sp_esc[eslot], sp_v8.astype(jnp.int16))
 
-    # expand runs -> per-MB streams.  Run slot per MB via start-scatter +
-    # cumulative max: one small scatter + a log-depth scan + two gathers
-    # beat searchsorted + four gathers (measured ~4x on v5e; gathers cost
-    # ~5 ns/element there).  Padding runs have length 0; MBs past the
-    # last real run (only invalid padding frames) read the last run's
-    # values, which the valid mask discards.
+    # expand runs -> per-MB streams.  Run slot per MB = (number of run
+    # starts at or before the MB) - 1: scatter a 1 at each non-empty
+    # run's start, then an exact MXU cumsum (ops/cumsum.py; a log-depth
+    # scan over F*n_mb elements costs milliseconds on v5e, the
+    # triangular matmul ~0.1 ms).  The start positions themselves are a
+    # cumsum of uint16 lengths, taken per byte so every matmul input
+    # stays bfloat16-exact.  Padding runs have length 0 and scatter
+    # nothing; MBs past the last real run (only invalid padding frames)
+    # read the last run's values, which the valid mask discards.
     lens = run_len.astype(jnp.int32)
-    starts = jnp.cumsum(lens) - lens
-    base = jnp.zeros((F * n_mb,), jnp.int32).at[starts].max(
-        jnp.arange(R, dtype=jnp.int32), mode='drop')
-    slot = jax.lax.associative_scan(jnp.maximum, base)
+    csum = (indicator_cumsum(lens & 0xFF, vmax=256)
+            + (indicator_cumsum(lens >> 8, vmax=256) << 8))
+    starts = csum - lens
+    ones = jnp.zeros((F * n_mb,), jnp.float32).at[starts].add(
+        (lens > 0).astype(jnp.float32), mode='drop')
+    slot = jnp.maximum(indicator_cumsum(ones) - 1, 0)
     meta = jnp.take(run_flags.astype(jnp.int32)
                     | (run_cbp.astype(jnp.int32) << 8), slot)
     flags = (meta & 0xFF).astype(jnp.uint8).reshape(F, n_mb)
@@ -249,10 +255,10 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
     # coded-block ids in row-major order, fixed-size formulation (the
     # scatter is sized by the mask, not by n_blk: one compile shape)
     mask = coded.reshape(-1)
-    dst = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, n_blk + 1)
+    dst = jnp.where(mask, indicator_cumsum(mask) - 1, n_blk + 1)
     blk_ids = jnp.full((n_blk + 1,), oob, jnp.int32).at[dst].set(
         jnp.arange(mask.shape[0], dtype=jnp.int32), mode='drop')
-    slot = jnp.cumsum((sp_pos >> 7).astype(jnp.int32)) - 1
+    slot = indicator_cumsum(sp_pos >> 7) - 1
     gid = blk_ids[jnp.clip(slot, 0, n_blk)]
     pair_ok = (sp_pos & 0x40) == 0
     idx = jnp.where(pair_ok, gid * 64 + (sp_pos & 63).astype(gid.dtype),
@@ -713,15 +719,19 @@ class MPEG1Decoder:
         return self._quant_dev
 
     @staticmethod
-    def _band_halo(batch) -> Optional[int]:
-        """Static band bucket for the one-hot MC from the batch's actual
-        vertical MVs (host-side, cheap); None = full-height windows."""
+    def _band_halo(batch):
+        """Static (vertical, horizontal) band buckets for the 2D one-hot
+        MC from the batch's actual MVs (host-side, cheap); None = full
+        windows."""
         from ..ops.motion import band_halo_for
         mv = batch.get('run_mv')
-        mv_v = mv[:, 1] if mv is not None and mv.size else \
-            batch['mv'][..., 1] if 'mv' in batch else None
-        m = int(np.abs(mv_v).max()) if mv_v is not None and mv_v.size else 0
-        return band_halo_for(m) or None
+        if (mv is None or not mv.size) and 'mv' in batch:
+            mv = batch['mv'].reshape(-1, 2)
+        if mv is None or not mv.size:
+            return (16, 16)
+        bh = band_halo_for(int(np.abs(mv[:, 0]).max()))
+        bv = band_halo_for(int(np.abs(mv[:, 1]).max()))
+        return (bv, bh) if bv and bh else None
 
     def _dispatch_packed(self, batch, n_frames=None):
         """Upload one packed batch as a single fused byte buffer and

@@ -74,21 +74,29 @@ def assemble_chroma(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
 
 
 def _mask_luma(per_block: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
-    """[n_mb, 4] -> per-pixel [H, W] (broadcast each entry over its 8x8)."""
-    x = jnp.broadcast_to(per_block[:, :, None, None],
-                         (per_block.shape[0], 4, 8, 8))
-    return assemble_luma(x, mb_h, mb_w)
+    """[n_mb, 4] -> per-pixel [H, W] (broadcast each entry over its 8x8).
+
+    Pure broadcast: the only transpose runs on the tiny [mb_h, mb_w, 2, 2]
+    grid, never on a full plane (a full-plane mask relayout costs more
+    than all the step's arithmetic -- the 7 masks measured ~1.2 ms/frame
+    of the 1.7 ms 720p step before this formulation)."""
+    g = per_block.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3)
+    return jnp.broadcast_to(g[:, :, None, :, :, None],
+                            (mb_h, 2, 8, mb_w, 2, 8)).reshape(mb_h * 16,
+                                                              mb_w * 16)
 
 
 def _mask_chroma(per_block: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
-    x = jnp.broadcast_to(per_block[:, None, None],
-                         (per_block.shape[0], 8, 8))
-    return assemble_chroma(x, mb_h, mb_w)
+    g = per_block.reshape(mb_h, mb_w)
+    return jnp.broadcast_to(g[:, None, :, None],
+                            (mb_h, 8, mb_w, 8)).reshape(mb_h * 8, mb_w * 8)
 
 
 def _mb_mask_luma(per_mb: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
-    return _mask_luma(jnp.broadcast_to(per_mb[:, None], (per_mb.shape[0], 4)),
-                      mb_h, mb_w)
+    g = per_mb.reshape(mb_h, mb_w)
+    return jnp.broadcast_to(g[:, None, :, None],
+                            (mb_h, 16, mb_w, 16)).reshape(mb_h * 16,
+                                                          mb_w * 16)
 
 
 def _combine(base: jnp.ndarray, resid: jnp.ndarray, coded: jnp.ndarray,
@@ -128,7 +136,12 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     # chroma needs halo_y/2 rounded UP plus the half-pel tap: +8 covers
     # the worst negative-MV floor-division case (|cmv>>1| can exceed
     # |mv>>1|/2 by one row)
-    halo_c = band_halo // 2 + 8 if band_halo else None
+    if band_halo:
+        bv, bh = (band_halo if isinstance(band_halo, tuple)
+                  else (band_halo, band_halo))
+        halo_c = (bv // 2 + 8, bh // 2 + 8)
+    else:
+        halo_c = None
     pred_y = motion_compensate(fwd.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,
                                band_halo=band_halo)
     cmh = chroma_mv(f.mv_h)

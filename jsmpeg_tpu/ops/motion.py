@@ -115,18 +115,25 @@ def _mc_onehot(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 
 def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                     mb_h: int, mb_w: int, block: int,
-                    band_halo: int) -> jnp.ndarray:
+                    band_v: int, band_h: int = 0) -> jnp.ndarray:
     """Band-limited one-hot MC: every MB row's sources live within
-    `band_halo` rows of its origin (callers derive band_halo from the
-    batch's actual MVs, so the bound always holds for the data decoded).
-    The band rides edge-replicated padding, which IS the frame-edge
-    clamp; columns contract first so the big matmul runs over the small
-    [band, W] operand and the intermediates stay ~10 MB at 720p (vs a
-    full-H one-hot's 150+ MB)."""
+    `band_v` rows of its origin (callers derive the band from the batch's
+    actual MVs, so the bound always holds for the data decoded).  The
+    band rides edge-replicated padding, which IS the frame-edge row
+    clamp; columns contract first so the big matmul keeps an MXU-shaped
+    [band, W] x [W, mb_w*B1] per MB row.  (A 2D-banded variant that also
+    bands columns was measured SLOWER -- it shatters the contraction
+    into per-MB 48x48 matmuls; `band_h` is accepted for signature
+    stability but columns always span W.)
+
+    Integer path: pixels ride as (p - 128) int8, one-hots as int8, and
+    both contractions run int8 x int8 -> int32 on the MXU -- exact (each
+    dot picks exactly one value) and half the operand bytes of bfloat16.
+    """
     H, W = ref.shape
     B1 = block + 1
-    assert band_halo % block == 0
-    K = band_halo // block
+    assert band_v % block == 0
+    K = band_v // block
     nwin = 2 * K + 1
     band_rows = nwin * block
 
@@ -135,30 +142,31 @@ def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     oy = (mv_v & 1).reshape(mb_h, mb_w).astype(bool)
     ox = (mv_h & 1).reshape(mb_h, mb_w).astype(bool)
 
-    # padded[i] == ref[clip(i - band_halo, 0, H-1)] -> band[r, j] ==
-    # ref[clip(r*block + j - band_halo, 0, H-1)]: clamp by construction
+    # padded[i] == ref[clip(i - band_v, 0, H-1)] -> band[r, j] ==
+    # ref[clip(r*block + j - band_v, 0, H-1)]: row clamp by construction
     padded = jnp.concatenate([
-        jnp.repeat(ref[:1], band_halo, axis=0), ref,
-        jnp.repeat(ref[-1:], band_halo, axis=0)]).astype(jnp.bfloat16)
+        jnp.repeat(ref[:1], band_v, axis=0), ref,
+        jnp.repeat(ref[-1:], band_v, axis=0)])
+    padded = (padded.astype(jnp.int16) - 128).astype(jnp.int8)
     band = jnp.stack(
         [padded[k * block:k * block + mb_h * block].reshape(mb_h, block, W)
          for k in range(nwin)], axis=1).reshape(mb_h, band_rows, W)
 
     taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
     base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
-    rows = jnp.clip(vy[:, :, None] + taps + band_halo, 0, band_rows - 1)
+    rows = jnp.clip(vy[:, :, None] + taps + band_v, 0, band_rows - 1)
     cols = jnp.clip(base_c + vx[:, :, None] + taps, 0, W - 1)
 
     oh_c = (cols[..., None] ==
-            jnp.arange(W, dtype=jnp.int32)).astype(jnp.bfloat16)
-    # columns first: [mb_h, mb_w, band_rows, B1]
+            jnp.arange(W, dtype=jnp.int32)).astype(jnp.int8)
+    # columns first: [mb_h, mb_w, band_rows, B1], values in [-128, 127]
     win_c = jnp.einsum('ahw,abcw->abhc', band, oh_c,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.int32)
     oh_r = (rows[..., None] ==
-            jnp.arange(band_rows, dtype=jnp.int32)).astype(jnp.bfloat16)
-    win = jnp.einsum('abrh,abhc->abrc', oh_r, win_c.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-    return combine_taps(win.astype(jnp.int32), oy, ox, block)
+            jnp.arange(band_rows, dtype=jnp.int32)).astype(jnp.int8)
+    win = jnp.einsum('abrh,abhc->abrc', oh_r, win_c.astype(jnp.int8),
+                     preferred_element_type=jnp.int32)
+    return combine_taps(win + 128, oy, ox, block)
 
 
 def band_halo_for(max_abs_mv: int, block: int = 16) -> int:
@@ -175,19 +183,23 @@ def band_halo_for(max_abs_mv: int, block: int = 16) -> int:
 def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                       mb_h: int, mb_w: int, block: int,
                       method: str = None,
-                      band_halo: int = None) -> jnp.ndarray:
+                      band_halo=None) -> jnp.ndarray:
     """ref: uint8 [H, W] reference plane; mv_*: int32 [n_mb] in this plane's
     half-pel units (chroma callers pass the /2-truncated vectors).
     Returns int32 [H, W] prediction.  method: 'onehot' | 'gather' | None
-    (auto: onehot on accelerators, gather on CPU).  band_halo (static,
-    multiple of block, covering the data's true MV reach) selects the
-    cheap band-limited one-hot on accelerators."""
+    (auto: onehot on accelerators, gather on CPU).  band_halo -- an int or
+    a (vertical, horizontal) tuple, static, multiples of block, covering
+    the data's true MV reach -- selects the cheap 2D band-limited one-hot
+    on accelerators."""
     if method is None:
         method = 'gather' if jax.default_backend() == 'cpu' else 'onehot'
     if method == 'onehot':
-        if band_halo and band_halo < mb_h * block:
-            return _mc_onehot_band(ref, mv_h, mv_v, mb_h, mb_w, block,
-                                   band_halo)
+        if band_halo:
+            bv, bh = (band_halo if isinstance(band_halo, tuple)
+                      else (band_halo, band_halo))
+            if bv and bh and (bv < mb_h * block or bh < mb_w * block):
+                return _mc_onehot_band(ref, mv_h, mv_v, mb_h, mb_w, block,
+                                       bv, bh)
         return _mc_onehot(ref, mv_h, mv_v, mb_h, mb_w, block)
     return _mc_gather(ref, mv_h, mv_v, mb_h, mb_w, block)
 

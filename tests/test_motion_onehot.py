@@ -46,16 +46,18 @@ def test_frame_mc_band_equals_gather(seed):
     block = int(rng.choice([8, 16]))
     H, W = mb_h * block, mb_w * block
     ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
-    reach = int(rng.choice([7, 29, 61]))      # -> halo buckets 8/16/32...
-    mv_h = rng.integers(-2 * W, 2 * W, mb_h * mb_w).astype(np.int32)
-    mv_v = rng.integers(-reach, reach + 1, mb_h * mb_w).astype(np.int32)
-    halo = band_halo_for(int(np.abs(mv_v).max()), block=block)
-    assert halo
+    reach_v = int(rng.choice([7, 29, 61]))    # -> halo buckets 8/16/32...
+    reach_h = int(rng.choice([7, 29, 61]))
+    mv_h = rng.integers(-reach_h, reach_h + 1, mb_h * mb_w).astype(np.int32)
+    mv_v = rng.integers(-reach_v, reach_v + 1, mb_h * mb_w).astype(np.int32)
+    halo_v = band_halo_for(int(np.abs(mv_v).max()), block=block)
+    halo_h = band_halo_for(int(np.abs(mv_h).max()), block=block)
+    assert halo_v and halo_h
     a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(mv_h),
                               jnp.asarray(mv_v), mb_h, mb_w, block))
     b = np.asarray(_mc_onehot_band(jnp.asarray(ref), jnp.asarray(mv_h),
                                    jnp.asarray(mv_v), mb_h, mb_w, block,
-                                   halo))
+                                   halo_v, halo_h))
     np.testing.assert_array_equal(a, b)
 
 
@@ -77,7 +79,7 @@ def test_band_halo_chroma_bound():
                                   jnp.asarray(cm), mb_h, mb_w, block))
         b = np.asarray(_mc_onehot_band(jnp.asarray(ref), jnp.asarray(cm),
                                        jnp.asarray(cm), mb_h, mb_w, block,
-                                       halo_c))
+                                       halo_c, halo_c))
         np.testing.assert_array_equal(a, b, err_msg=str(mv_extreme))
 
 
