@@ -99,6 +99,44 @@ def _mb_mask_luma(per_mb: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
                                                           mb_w * 16)
 
 
+def _to_blocks(plane: jnp.ndarray, mb_h: int, mb_w: int,
+               block: int) -> jnp.ndarray:
+    """[H, W] -> [mb_h, mb_w, block, block] (MB-block layout)."""
+    return plane.reshape(mb_h, block, mb_w, block).transpose(0, 2, 1, 3)
+
+
+def _to_plane(blocks: jnp.ndarray, mb_h: int, mb_w: int,
+              block: int) -> jnp.ndarray:
+    """[mb_h, mb_w, block, block] -> [H, W]."""
+    return blocks.transpose(0, 2, 1, 3).reshape(mb_h * block, mb_w * block)
+
+
+def _resid_luma_blocks(resid4: jnp.ndarray, mb_h: int,
+                       mb_w: int) -> jnp.ndarray:
+    """[n_mb, 4, 8, 8] IDCT output -> [mb_h, mb_w, 16, 16]: a local
+    transpose within each MB's 256 elements (the old full-plane assembly
+    interleaved MB columns across the whole row -- a far costlier
+    relayout on TPU)."""
+    x = resid4.reshape(mb_h, mb_w, 2, 2, 8, 8).transpose(0, 1, 2, 4, 3, 5)
+    return x.reshape(mb_h, mb_w, 16, 16)
+
+
+def _bmask_luma(per_block: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
+    """[n_mb, 4] -> [mb_h, mb_w, 16, 16] (pure broadcast)."""
+    g = per_block.reshape(mb_h, mb_w, 2, 2)
+    return jnp.broadcast_to(g[:, :, :, None, :, None],
+                            (mb_h, mb_w, 2, 8, 2, 8)).reshape(
+        mb_h, mb_w, 16, 16)
+
+
+def _bmask_mb(per_mb: jnp.ndarray, mb_h: int, mb_w: int,
+              block: int) -> jnp.ndarray:
+    """[n_mb] -> [mb_h, mb_w, block, block] (pure broadcast)."""
+    g = per_mb.reshape(mb_h, mb_w)
+    return jnp.broadcast_to(g[:, :, None, None],
+                            (mb_h, mb_w, block, block))
+
+
 def _combine(base: jnp.ndarray, resid: jnp.ndarray, coded: jnp.ndarray,
              intra: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel select: uncoded -> base; coded intra -> clamp(resid);
@@ -121,17 +159,22 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     if resid is None:
         resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))  # [n_mb, 6, 8, 8]
 
-    ry = assemble_luma(resid[:, :4], mb_h, mb_w)
-    rcb = assemble_chroma(resid[:, 4], mb_h, mb_w)
-    rcr = assemble_chroma(resid[:, 5], mb_h, mb_w)
+    # Everything combines in MB-block space ([mb_h, mb_w, block, block]):
+    # residuals and MC predictions arrive there naturally, the masks are
+    # pure broadcasts, and only the uint8 carry planes relayout (4x fewer
+    # bytes than relayouting the int32 intermediates into plane space,
+    # which dominated the step before this formulation).
+    ry = _resid_luma_blocks(resid[:, :4], mb_h, mb_w)
+    rcb = resid[:, 4].reshape(mb_h, mb_w, 8, 8)
+    rcr = resid[:, 5].reshape(mb_h, mb_w, 8, 8)
 
-    written_y = _mb_mask_luma(f.written, mb_h, mb_w)
-    written_c = _mask_chroma(f.written, mb_h, mb_w)
-    coded_y = _mask_luma(f.coded[:, :4], mb_h, mb_w)
-    coded_cb = _mask_chroma(f.coded[:, 4], mb_h, mb_w)
-    coded_cr = _mask_chroma(f.coded[:, 5], mb_h, mb_w)
-    intra_y = _mb_mask_luma(f.intra, mb_h, mb_w)
-    intra_c = _mask_chroma(f.intra, mb_h, mb_w)
+    written_y = _bmask_mb(f.written, mb_h, mb_w, 16)
+    written_c = _bmask_mb(f.written, mb_h, mb_w, 8)
+    coded_y = _bmask_luma(f.coded[:, :4], mb_h, mb_w)
+    coded_cb = _bmask_mb(f.coded[:, 4], mb_h, mb_w, 8)
+    coded_cr = _bmask_mb(f.coded[:, 5], mb_h, mb_w, 8)
+    intra_y = _bmask_mb(f.intra, mb_h, mb_w, 16)
+    intra_c = _bmask_mb(f.intra, mb_h, mb_w, 8)
 
     # chroma needs halo_y/2 rounded UP plus the half-pel tap: +8 covers
     # the worst negative-MV floor-division case (|cmv>>1| can exceed
@@ -143,22 +186,27 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     else:
         halo_c = None
     pred_y = motion_compensate(fwd.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,
-                               band_halo=band_halo)
+                               band_halo=band_halo, layout='block')
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
     pred_cr = motion_compensate(fwd.cr, cmh, cmv, mb_h, mb_w, 8,
-                                band_halo=halo_c)
+                                band_halo=halo_c, layout='block')
     pred_cb = motion_compensate(fwd.cb, cmh, cmv, mb_h, mb_w, 8,
-                                band_halo=halo_c)
+                                band_halo=halo_c, layout='block')
 
-    base_y = jnp.where(written_y, pred_y, cur.y.astype(jnp.int32))
-    base_cr = jnp.where(written_c, pred_cr, cur.cr.astype(jnp.int32))
-    base_cb = jnp.where(written_c, pred_cb, cur.cb.astype(jnp.int32))
+    base_y = jnp.where(written_y, pred_y,
+                       _to_blocks(cur.y, mb_h, mb_w, 16).astype(jnp.int32))
+    base_cr = jnp.where(written_c, pred_cr,
+                        _to_blocks(cur.cr, mb_h, mb_w, 8).astype(jnp.int32))
+    base_cb = jnp.where(written_c, pred_cb,
+                        _to_blocks(cur.cb, mb_h, mb_w, 8).astype(jnp.int32))
 
     return Planes(
-        y=_combine(base_y, ry, coded_y, intra_y),
-        cr=_combine(base_cr, rcr, coded_cr, intra_c),
-        cb=_combine(base_cb, rcb, coded_cb, intra_c),
+        y=_to_plane(_combine(base_y, ry, coded_y, intra_y), mb_h, mb_w, 16),
+        cr=_to_plane(_combine(base_cr, rcr, coded_cr, intra_c),
+                     mb_h, mb_w, 8),
+        cb=_to_plane(_combine(base_cb, rcb, coded_cb, intra_c),
+                     mb_h, mb_w, 8),
     )
 
 

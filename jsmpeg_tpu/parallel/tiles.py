@@ -127,17 +127,20 @@ def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
     rows = jnp.clip(rows_g - row0 + halo, 0, ext_rows - 1)   # slab-local
     cols = jnp.clip(base_c + vx[:, :, None] + taps, 0, W - 1)
 
-    refb = ref.astype(jnp.bfloat16)
+    # int8 x int8 -> int32 one-hot contractions with pixels biased by
+    # -128: exact (each dot selects exactly one value), half the operand
+    # bytes of bfloat16 (see ops/motion.py)
+    refb = (ref.astype(jnp.int16) - 128).astype(jnp.int8)
     oh_r = (rows[..., None] ==
-            jnp.arange(ext_rows, dtype=jnp.int32)).astype(jnp.bfloat16)
+            jnp.arange(ext_rows, dtype=jnp.int32)).astype(jnp.int8)
     win_r = jnp.einsum('abrh,hw->abrw', oh_r, refb,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.int32)
     oh_c = (cols[..., None] ==
-            jnp.arange(W, dtype=jnp.int32)).astype(jnp.bfloat16)
-    win = jnp.einsum('abrw,abcw->abrc', win_r.astype(jnp.bfloat16), oh_c,
-                     preferred_element_type=jnp.float32)
+            jnp.arange(W, dtype=jnp.int32)).astype(jnp.int8)
+    win = jnp.einsum('abrw,abcw->abrc', win_r.astype(jnp.int8), oh_c,
+                     preferred_element_type=jnp.int32)
     from ..ops.motion import combine_taps
-    return combine_taps(win.astype(jnp.int32), oy, ox, block)
+    return combine_taps(win + 128, oy, ox, block)
 
 
 def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,

@@ -61,6 +61,46 @@ def test_frame_mc_band_equals_gather(seed):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize('seed', range(3))
+def test_frame_mc_band_fullw_equals_gather(seed):
+    """band_h=0 keeps the full-width column one-hot (used when only the
+    vertical reach is bounded)."""
+    from jsmpeg_tpu.ops.motion import _mc_onehot_band, band_halo_for
+    rng = np.random.default_rng(300 + seed)
+    mb_h = int(rng.integers(3, 7))
+    mb_w = int(rng.integers(2, 7))
+    block = int(rng.choice([8, 16]))
+    H, W = mb_h * block, mb_w * block
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    mv_h = rng.integers(-2 * W, 2 * W, mb_h * mb_w).astype(np.int32)
+    mv_v = rng.integers(-29, 30, mb_h * mb_w).astype(np.int32)
+    halo_v = band_halo_for(int(np.abs(mv_v).max()), block=block)
+    a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(mv_h),
+                              jnp.asarray(mv_v), mb_h, mb_w, block))
+    b = np.asarray(_mc_onehot_band(jnp.asarray(ref), jnp.asarray(mv_h),
+                                   jnp.asarray(mv_v), mb_h, mb_w, block,
+                                   halo_v, 0))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_grouped_band_wide_frame():
+    """mb_w > G exercises real multi-group windows (the small random
+    frames above all fit one group)."""
+    from jsmpeg_tpu.ops.motion import _mc_onehot_band
+    rng = np.random.default_rng(9)
+    mb_h, mb_w, block = 3, 21, 16     # 21 MBs -> 3 groups of 8 (padded)
+    H, W = mb_h * block, mb_w * block
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    mv_h = rng.integers(-63, 64, mb_h * mb_w).astype(np.int32)
+    mv_v = rng.integers(-31, 32, mb_h * mb_w).astype(np.int32)
+    a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(mv_h),
+                              jnp.asarray(mv_v), mb_h, mb_w, block))
+    b = np.asarray(_mc_onehot_band(jnp.asarray(ref), jnp.asarray(mv_h),
+                                   jnp.asarray(mv_v), mb_h, mb_w, block,
+                                   32, 32))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_band_halo_chroma_bound():
     """decode_frame_planes derives the chroma halo from the luma one;
     the worst negative-MV floor-division case must stay in band."""
