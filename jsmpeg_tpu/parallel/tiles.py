@@ -24,9 +24,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..host.mpeg1_parse import FrameData
 from ..models.mpeg1 import empty_frame_arrays, frame_to_arrays
-from ..ops.frame import (FrameArrays, Planes, _combine, _mask_chroma,
-                         _mask_luma, _mb_mask_luma, assemble_chroma,
-                         assemble_luma)
+from ..ops.frame import (FrameArrays, Planes, _bmask_luma, _bmask_mb,
+                         _combine, _resid_luma_blocks, _to_blocks,
+                         _to_plane)
 from ..ops.idct import idct_s32
 from ..ops.motion import chroma_mv
 from .gop import split_gops
@@ -58,7 +58,8 @@ def _exchange_halo(plane: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
 
 def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
               mb_h_local: int, mb_w: int, block: int, halo: int,
-              row0: jnp.ndarray, total_rows: int) -> jnp.ndarray:
+              row0: jnp.ndarray, total_rows: int,
+              layout: str = 'plane') -> jnp.ndarray:
     """Motion compensation reading an extended (halo'd) reference slab.
 
     ref: int-or-uint8 [halo + rows_local + halo, W]; mv in this plane's
@@ -70,13 +71,14 @@ def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     plain 4-tap gather on CPU."""
     if jax.default_backend() == 'cpu':
         return _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local, mb_w, block,
-                                halo, row0, total_rows)
+                                halo, row0, total_rows, layout)
     return _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local, mb_w, block,
-                            halo, row0, total_rows)
+                            halo, row0, total_rows, layout)
 
 
 def _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
-                     block: int, halo: int, row0, total_rows: int):
+                     block: int, halo: int, row0, total_rows: int,
+                     layout: str = 'plane'):
     H_local = mb_h_local * block
     W = mb_w * block
     grid_h = jnp.repeat(jnp.repeat(mv_h.reshape(mb_h_local, mb_w), block, 0),
@@ -103,44 +105,88 @@ def _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
     b = g(sy, sx + ox)
     c = g(sy + oy, sx)
     d = g(sy + oy, sx + ox)
-    return jnp.right_shift(a + b + c + d + 2, 2)
+    pred = jnp.right_shift(a + b + c + d + 2, 2)
+    if layout == 'block':
+        return pred.reshape(mb_h_local, block, mb_w,
+                            block).transpose(0, 2, 1, 3)
+    return pred
 
 
 def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
-                     block: int, halo: int, row0, total_rows: int):
-    """One-hot matmul window extraction over the halo'd slab (exact: see
-    ops/motion.py _mc_onehot; the double clamp -- frame edge in global
-    rows, then slab bounds -- composes into the window row indices)."""
+                     block: int, halo: int, row0, total_rows: int,
+                     layout: str = 'plane'):
+    """Banded grouped-column one-hot window extraction over the halo'd
+    slab (same formulation as ops/motion.py _mc_onehot_band_grouped, with
+    the slab's exchanged halo rows acting as the vertical band).  The
+    per-MB-row band slices the slab directly; the frame-edge row clamp
+    composes into the band indices (clamped global rows always map to
+    real slab rows, never the zero padding at the frame edges).  Columns
+    ride edge-replicated padding, which IS the frame-edge column clamp.
+    Requires |mv|/2 + 1 <= halo in this plane's pixels on BOTH axes --
+    the same f_code bound that sizes the halo exchange itself
+    (halo_mb_rows; MPEG1 has one forward_f for both axes,
+    /root/reference/src/mpeg1.js:413-418)."""
     W = mb_w * block
     B1 = block + 1
-    ext_rows = ref.shape[0]
-    vy = jnp.right_shift(mv_v, 1).reshape(mb_h_local, mb_w)
-    vx = jnp.right_shift(mv_h, 1).reshape(mb_h_local, mb_w)
-    oy = (mv_v & 1).reshape(mb_h_local, mb_w).astype(bool)
-    ox = (mv_h & 1).reshape(mb_h_local, mb_w).astype(bool)
+    rows_local = mb_h_local * block
+    assert halo % block == 0
+    nwin = 2 * (halo // block) + 1
+    band_rows = nwin * block
+    G = max(1, 128 // block)
+    n_grp = -(-mb_w // G)
+    mb_w_pad = n_grp * G
+    marg = halo + block
+    span = G * block + 2 * marg
+    Wp = mb_w_pad * block + 2 * marg
 
-    base_r = (jnp.arange(mb_h_local, dtype=jnp.int32) * block)[:, None, None]
-    base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
+    def padg(grid, fill=0):
+        g = grid.reshape(mb_h_local, mb_w)
+        if mb_w_pad == mb_w:
+            return g
+        return jnp.pad(g, ((0, 0), (0, mb_w_pad - mb_w)),
+                       constant_values=fill)
+
+    vy = padg(jnp.right_shift(mv_v, 1))
+    vx = padg(jnp.right_shift(mv_h, 1))
+    oy = padg(mv_v & 1).astype(bool)
+    ox = padg(mv_h & 1).astype(bool)
+
+    extp = jnp.concatenate([
+        jnp.repeat(ref[:, :1], marg, axis=1), ref,
+        jnp.repeat(ref[:, -1:], Wp - W - marg, axis=1)], axis=1)
+    extp = (extp.astype(jnp.int16) - 128).astype(jnp.int8)
+    band = jnp.stack(
+        [extp[k * block:k * block + rows_local]
+         .reshape(mb_h_local, block, Wp) for k in range(nwin)],
+        axis=1).reshape(mb_h_local, band_rows, Wp)
+    gband = jnp.stack(
+        [band[:, :, g * G * block:g * G * block + span]
+         for g in range(n_grp)], axis=1)
+
+    base_r = (jnp.arange(mb_h_local, dtype=jnp.int32)
+              * block)[:, None, None]
     taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
     rows_g = jnp.clip(base_r + row0 + vy[:, :, None] + taps,
                       0, total_rows - 1)             # frame-edge clamp
-    rows = jnp.clip(rows_g - row0 + halo, 0, ext_rows - 1)   # slab-local
-    cols = jnp.clip(base_c + vx[:, :, None] + taps, 0, W - 1)
+    rows_b = jnp.clip(rows_g - row0 - base_r + halo, 0, band_rows - 1)
+    base_l = ((jnp.arange(mb_w_pad, dtype=jnp.int32) % G)
+              * block)[None, :, None]
+    cols = jnp.clip(base_l + vx[:, :, None] + taps + marg, 0, span - 1)
+    colsg = cols.reshape(mb_h_local, n_grp, G, B1)
 
-    # int8 x int8 -> int32 one-hot contractions with pixels biased by
-    # -128: exact (each dot selects exactly one value), half the operand
-    # bytes of bfloat16 (see ops/motion.py)
-    refb = (ref.astype(jnp.int16) - 128).astype(jnp.int8)
-    oh_r = (rows[..., None] ==
-            jnp.arange(ext_rows, dtype=jnp.int32)).astype(jnp.int8)
-    win_r = jnp.einsum('abrh,hw->abrw', oh_r, refb,
+    oh_c = (colsg[..., None] ==
+            jnp.arange(span, dtype=jnp.int32)).astype(jnp.int8)
+    win_c = jnp.einsum('aghw,agbcw->agbhc', gband, oh_c,
                        preferred_element_type=jnp.int32)
-    oh_c = (cols[..., None] ==
-            jnp.arange(W, dtype=jnp.int32)).astype(jnp.int8)
-    win = jnp.einsum('abrw,abcw->abrc', win_r.astype(jnp.int8), oh_c,
+    win_c = win_c.reshape(mb_h_local, mb_w_pad, band_rows, B1)
+    oh_r = (rows_b[..., None] ==
+            jnp.arange(band_rows, dtype=jnp.int32)).astype(jnp.int8)
+    win = jnp.einsum('abrh,abhc->abrc', oh_r, win_c.astype(jnp.int8),
                      preferred_element_type=jnp.int32)
+    win = win[:, :mb_w]
     from ..ops.motion import combine_taps
-    return combine_taps(win + 128, oy, ox, block)
+    return combine_taps(win + 128, oy[:, :mb_w], ox[:, :mb_w], block,
+                        layout)
 
 
 def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
@@ -156,39 +202,50 @@ def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
 
     if resid is None:
         resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))
-    ry = assemble_luma(resid[:, :4], mb_h_local, mb_w)
-    rcb = assemble_chroma(resid[:, 4], mb_h_local, mb_w)
-    rcr = assemble_chroma(resid[:, 5], mb_h_local, mb_w)
+    # block-space combine, mirroring ops/frame.decode_frame_planes: only
+    # the uint8 carry planes relayout
+    ry = _resid_luma_blocks(resid[:, :4], mb_h_local, mb_w)
+    rcb = resid[:, 4].reshape(mb_h_local, mb_w, 8, 8)
+    rcr = resid[:, 5].reshape(mb_h_local, mb_w, 8, 8)
 
-    written_y = _mb_mask_luma(f.written, mb_h_local, mb_w)
-    written_c = _mask_chroma(f.written, mb_h_local, mb_w)
-    coded_y = _mask_luma(f.coded[:, :4], mb_h_local, mb_w)
-    coded_cb = _mask_chroma(f.coded[:, 4], mb_h_local, mb_w)
-    coded_cr = _mask_chroma(f.coded[:, 5], mb_h_local, mb_w)
-    intra_y = _mb_mask_luma(f.intra, mb_h_local, mb_w)
-    intra_c = _mask_chroma(f.intra, mb_h_local, mb_w)
+    written_y = _bmask_mb(f.written, mb_h_local, mb_w, 16)
+    written_c = _bmask_mb(f.written, mb_h_local, mb_w, 8)
+    coded_y = _bmask_luma(f.coded[:, :4], mb_h_local, mb_w)
+    coded_cb = _bmask_mb(f.coded[:, 4], mb_h_local, mb_w, 8)
+    coded_cr = _bmask_mb(f.coded[:, 5], mb_h_local, mb_w, 8)
+    intra_y = _bmask_mb(f.intra, mb_h_local, mb_w, 16)
+    intra_c = _bmask_mb(f.intra, mb_h_local, mb_w, 8)
 
     ext_y = _exchange_halo(fwd.y, halo_y, axis)
     ext_cr = _exchange_halo(fwd.cr, halo_c, axis)
     ext_cb = _exchange_halo(fwd.cb, halo_c, axis)
 
     pred_y = _mc_tiled(ext_y, f.mv_h, f.mv_v, mb_h_local, mb_w, 16,
-                       halo_y, row0_y, mb_h_total * 16)
+                       halo_y, row0_y, mb_h_total * 16, layout='block')
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
     pred_cr = _mc_tiled(ext_cr, cmh, cmv, mb_h_local, mb_w, 8,
-                        halo_c, row0_c, mb_h_total * 8)
+                        halo_c, row0_c, mb_h_total * 8, layout='block')
     pred_cb = _mc_tiled(ext_cb, cmh, cmv, mb_h_local, mb_w, 8,
-                        halo_c, row0_c, mb_h_total * 8)
+                        halo_c, row0_c, mb_h_total * 8, layout='block')
 
-    base_y = jnp.where(written_y, pred_y, cur.y.astype(jnp.int32))
-    base_cr = jnp.where(written_c, pred_cr, cur.cr.astype(jnp.int32))
-    base_cb = jnp.where(written_c, pred_cb, cur.cb.astype(jnp.int32))
+    base_y = jnp.where(written_y, pred_y,
+                       _to_blocks(cur.y, mb_h_local, mb_w,
+                                  16).astype(jnp.int32))
+    base_cr = jnp.where(written_c, pred_cr,
+                        _to_blocks(cur.cr, mb_h_local, mb_w,
+                                   8).astype(jnp.int32))
+    base_cb = jnp.where(written_c, pred_cb,
+                        _to_blocks(cur.cb, mb_h_local, mb_w,
+                                   8).astype(jnp.int32))
 
     return Planes(
-        y=_combine(base_y, ry, coded_y, intra_y),
-        cr=_combine(base_cr, rcr, coded_cr, intra_c),
-        cb=_combine(base_cb, rcb, coded_cb, intra_c),
+        y=_to_plane(_combine(base_y, ry, coded_y, intra_y),
+                    mb_h_local, mb_w, 16),
+        cr=_to_plane(_combine(base_cr, rcr, coded_cr, intra_c),
+                     mb_h_local, mb_w, 8),
+        cb=_to_plane(_combine(base_cb, rcb, coded_cb, intra_c),
+                     mb_h_local, mb_w, 8),
     )
 
 

@@ -138,8 +138,11 @@ def test_tiled_mc_onehot_equals_gather(seed):
     W = mb_w * block
     ext = rng.integers(0, 256,
                        (halo + mb_h_local * block + halo, W)).astype(np.uint8)
+    # both axes bounded by the f_code reach the halo was sized for (the
+    # banded tiled MC requires it, like the halo exchange itself)
     reach = halo // 2
-    mv_h = rng.integers(-2 * W, 2 * W, mb_h_local * mb_w).astype(np.int32)
+    mv_h = rng.integers(-2 * reach, 2 * reach + 1,
+                        mb_h_local * mb_w).astype(np.int32)
     mv_v = rng.integers(-2 * reach, 2 * reach + 1,
                         mb_h_local * mb_w).astype(np.int32)
     args = (jnp.asarray(ext), jnp.asarray(mv_h), jnp.asarray(mv_v),
