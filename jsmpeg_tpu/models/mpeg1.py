@@ -259,12 +259,19 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
     blk_ids = jnp.full((n_blk + 1,), oob, jnp.int32).at[dst].set(
         jnp.arange(mask.shape[0], dtype=jnp.int32), mode='drop')
     slot = indicator_cumsum(sp_pos >> 7) - 1
-    gid = blk_ids[jnp.clip(slot, 0, n_blk)]
+    # pairs scatter into the COMPACT per-coded-block lattice by ordinal
+    # (no per-pair flat-id lookup), then one row-wise scatter expands
+    # compact -> dense: scatter cost is per-index on TPU (measured), so
+    # n_blk row updates beat a per-pair gather of flat ids
     pair_ok = (sp_pos & 0x40) == 0
-    idx = jnp.where(pair_ok, gid * 64 + (sp_pos & 63).astype(gid.dtype),
-                    oob * 64)
-    flat = jnp.zeros((F * n_mb * 6 * 64,), jnp.int16)
-    flat = _scatter_pairs(flat, idx, sp_val)
+    cidx = jnp.where(pair_ok,
+                     jnp.clip(slot, 0, n_blk - 1) * 64
+                     + (sp_pos & 63).astype(slot.dtype),
+                     n_blk * 64)
+    compact = jnp.zeros((n_blk * 64,), jnp.int16)
+    compact = _scatter_pairs(compact, cidx, sp_val).reshape(n_blk, 64)
+    flat = jnp.zeros((F * n_mb * 6, 64), jnp.int16).at[blk_ids[:n_blk]].set(
+        compact, mode='drop')
     return LevelsArrays(
         levels=flat.reshape(F, n_mb, 6, 64), qscale=qscale, coded=coded,
         intra=intra, written=written, mv_h=mv16[..., 0].astype(jnp.int32),
