@@ -253,18 +253,29 @@ def main():
               n_blk=n_blk, n_runs=n_runs,
               band_halo=MPEG1Decoder._band_halo(batch))
     r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
-    np.asarray(fetch(r[2].y[-1]))       # warm + force
+    np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
+    # sustained rate: dispatch the reps back-to-back and fence ONCE with a
+    # tiny fetch -- the device executes enqueued programs serially, so the
+    # final output forces every rep.  (Fetching a full 921 kB plane per
+    # rep measures tunnel D2H latency, not the pipeline: it halved this
+    # row before round 2b.)
     t0 = time.monotonic()
     for _ in range(5):
         r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
         jax.block_until_ready(r[2].y)
     block_s = time.monotonic() - t0
     t0 = time.monotonic()
-    for _ in range(5):
+    for _ in range(10):
         r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
-        np.asarray(fetch(r[2].y[-1]))   # pull one plane: forces execution
+    np.asarray(fetch(r[2].y[-1, :1, :4]))
     fetch_s = time.monotonic() - t0
-    device_fps = 32 * 5 / fetch_s
+    device_fps = 32 * 10 / fetch_s
+    # single-batch round-trip latency (dispatch + scan + 4-byte fetch)
+    t0 = time.monotonic()
+    for _ in range(3):
+        r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
+        np.asarray(fetch(r[2].y[-1, :1, :4]))
+    batch_latency_ms = (time.monotonic() - t0) / 3 * 1000.0
 
     # A/B: XLA dequant+IDCT formulation vs the hand-scheduled Pallas
     # fused kernel, on one realistic frame's blocks (JSMPEG_PALLAS_IDCT=1
@@ -339,7 +350,8 @@ def main():
         'host_parse_fps': round(parse_fps, 2),
         'device_pipeline_fps': round(device_fps, 2),
         'device_probe_ms': {'block_until_ready': round(block_s * 200, 2),
-                            'fetch': round(fetch_s * 200, 2)},
+                            'fetch': round(fetch_s * 100, 2),
+                            'batch_round_trip': round(batch_latency_ms, 2)},
         'dense_28mbit_fps': round(dense_fps, 2),
         'idct_kernel_ms_per_frame': {'xla': round(idct_xla_ms, 3),
                                      'pallas': round(idct_pallas_ms, 3)},

@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .idct import idct_s32
-from .motion import chroma_mv, motion_compensate
+from .motion import chroma_mv, motion_compensate, motion_compensate_pair
 
 
 class FrameArrays(NamedTuple):
@@ -150,7 +150,7 @@ def _combine(base: jnp.ndarray, resid: jnp.ndarray, coded: jnp.ndarray,
 def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
                         mb_h: int, mb_w: int,
                         resid: jnp.ndarray = None,
-                        band_halo: int = None) -> Planes:
+                        band_halo=None) -> Planes:
     """One picture: returns the decoded planes (the caller handles the
     current/forward rotation).  `resid` overrides the IDCT of f.coef with
     precomputed [n_mb, 6, 8, 8] residuals (the Pallas fused-kernel path);
@@ -189,10 +189,9 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
                                band_halo=band_halo, layout='block')
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
-    pred_cr = motion_compensate(fwd.cr, cmh, cmv, mb_h, mb_w, 8,
-                                band_halo=halo_c, layout='block')
-    pred_cb = motion_compensate(fwd.cb, cmh, cmv, mb_h, mb_w, 8,
-                                band_halo=halo_c, layout='block')
+    pred_cr, pred_cb = motion_compensate_pair(
+        (fwd.cr, fwd.cb), cmh, cmv, mb_h, mb_w, 8, band_halo=halo_c,
+        layout='block')
 
     base_y = jnp.where(written_y, pred_y,
                        _to_blocks(cur.y, mb_h, mb_w, 16).astype(jnp.int32))

@@ -188,6 +188,14 @@ def _mc_onehot_band_grouped(ref: jnp.ndarray, mv_h: jnp.ndarray,
                             mv_v: jnp.ndarray, mb_h: int, mb_w: int,
                             block: int, band_v: int, band_h: int,
                             layout: str = 'plane') -> jnp.ndarray:
+    return _mc_grouped_multi((ref,), mv_h, mv_v, mb_h, mb_w, block,
+                             band_v, band_h, layout)[0]
+
+
+def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
+                      mv_v: jnp.ndarray, mb_h: int, mb_w: int,
+                      block: int, band_v: int, band_h: int,
+                      layout: str = 'plane'):
     """Row-band + grouped-column band: MBs group G per 128-pixel column
     chunk and the column one-hot spans only the group's source window
     (G*block + 2*(band_h + block) columns) instead of the full frame
@@ -195,8 +203,14 @@ def _mc_onehot_band_grouped(ref: jnp.ndarray, mv_h: jnp.ndarray,
     matmul stays MXU-shaped ([band_rows, span] x [span, G*B1], span
     ~350 at 720p).  Edge-replicated padding in both axes IS the
     frame-edge clamp; mb_w pads up to a multiple of G with zero-MV
-    dummy MBs whose outputs are sliced away."""
-    H, W = ref.shape
+    dummy MBs whose outputs are sliced away.
+
+    `refs` is a tuple of same-shape planes sharing the motion vectors
+    (the two chroma planes): their group windows concatenate along the
+    group axis so the one-hots are built once and both planes ride the
+    same contractions.  Returns one prediction per ref."""
+    P = len(refs)
+    H, W = refs[0].shape
     B1 = block + 1
     assert band_v % block == 0
     nwin = 2 * (band_v // block) + 1
@@ -220,20 +234,25 @@ def _mc_onehot_band_grouped(ref: jnp.ndarray, mv_h: jnp.ndarray,
     oy = padg(mv_v & 1).astype(bool)
     ox = padg(mv_h & 1).astype(bool)
 
-    # padded[i, j] == ref[clip(i - band_v, 0, H-1), clip(j - marg, 0, W-1)]
-    padded = jnp.concatenate([
-        jnp.repeat(ref[:1], band_v, axis=0), ref,
-        jnp.repeat(ref[-1:], band_v, axis=0)])
-    padded = jnp.concatenate([
-        jnp.repeat(padded[:, :1], marg, axis=1), padded,
-        jnp.repeat(padded[:, -1:], Wp - W - marg, axis=1)], axis=1)
-    padded = (padded.astype(jnp.int16) - 128).astype(jnp.int8)
-    band = jnp.stack(
-        [padded[k * block:k * block + mb_h * block].reshape(mb_h, block, Wp)
-         for k in range(nwin)], axis=1).reshape(mb_h, band_rows, Wp)
-    gband = jnp.stack(
-        [band[:, :, g * G * block:g * G * block + span]
-         for g in range(n_grp)], axis=1)   # [mb_h, n_grp, band_rows, span]
+    def one_gband(ref):
+        # padded[i, j] == ref[clip(i - band_v, 0, H-1),
+        #                     clip(j - marg, 0, W-1)]
+        padded = jnp.concatenate([
+            jnp.repeat(ref[:1], band_v, axis=0), ref,
+            jnp.repeat(ref[-1:], band_v, axis=0)])
+        padded = jnp.concatenate([
+            jnp.repeat(padded[:, :1], marg, axis=1), padded,
+            jnp.repeat(padded[:, -1:], Wp - W - marg, axis=1)], axis=1)
+        padded = (padded.astype(jnp.int16) - 128).astype(jnp.int8)
+        band = jnp.stack(
+            [padded[k * block:k * block + mb_h * block]
+             .reshape(mb_h, block, Wp) for k in range(nwin)],
+            axis=1).reshape(mb_h, band_rows, Wp)
+        return jnp.stack(
+            [band[:, :, g * G * block:g * G * block + span]
+             for g in range(n_grp)], axis=1)  # [mb_h, n_grp, rows, span]
+
+    gband = jnp.concatenate([one_gband(r) for r in refs], axis=1)
 
     taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
     rows = jnp.clip(vy[:, :, None] + taps + band_v, 0, band_rows - 1)
@@ -241,19 +260,22 @@ def _mc_onehot_band_grouped(ref: jnp.ndarray, mv_h: jnp.ndarray,
               * block)[None, :, None]
     cols = jnp.clip(base_l + vx[:, :, None] + taps + marg, 0, span - 1)
     colsg = cols.reshape(mb_h, n_grp, G, B1)
+    if P > 1:
+        colsg = jnp.concatenate([colsg] * P, axis=1)
 
     oh_c = (colsg[..., None] ==
             jnp.arange(span, dtype=jnp.int32)).astype(jnp.int8)
     win_c = jnp.einsum('aghw,agbcw->agbhc', gband, oh_c,
                        preferred_element_type=jnp.int32)
-    win_c = win_c.reshape(mb_h, mb_w_pad, band_rows, B1)
+    win_c = win_c.reshape(mb_h, P, mb_w_pad, band_rows, B1)
     oh_r = (rows[..., None] ==
             jnp.arange(band_rows, dtype=jnp.int32)).astype(jnp.int8)
-    win = jnp.einsum('abrh,abhc->abrc', oh_r, win_c.astype(jnp.int8),
+    win = jnp.einsum('abrh,apbhc->apbrc', oh_r, win_c.astype(jnp.int8),
                      preferred_element_type=jnp.int32)
-    win = win[:, :mb_w]
-    return combine_taps(win + 128, oy[:, :mb_w], ox[:, :mb_w], block,
-                        layout)
+    win = win[:, :, :mb_w]
+    return tuple(combine_taps(win[:, p] + 128, oy[:, :mb_w],
+                              ox[:, :mb_w], block, layout)
+                 for p in range(P))
 
 
 def band_halo_for(max_abs_mv: int, block: int = 16) -> int:
@@ -290,6 +312,28 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
         return _mc_onehot(ref, mv_h, mv_v, mb_h, mb_w, block,
                           layout=layout)
     return _mc_gather(ref, mv_h, mv_v, mb_h, mb_w, block, layout=layout)
+
+
+def motion_compensate_pair(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+                           mb_h: int, mb_w: int, block: int,
+                           method: str = None, band_halo=None,
+                           layout: str = 'plane'):
+    """motion_compensate for a tuple of same-shape planes sharing the
+    motion vectors (the two chroma planes): on the banded one-hot path
+    both planes ride ONE pair of contractions (the one-hots are built
+    once), saving a full einsum pass per frame.  Falls back to
+    independent calls otherwise."""
+    if method is None:
+        method = 'gather' if jax.default_backend() == 'cpu' else 'onehot'
+    if method == 'onehot' and band_halo:
+        bv, bh = (band_halo if isinstance(band_halo, tuple)
+                  else (band_halo, band_halo))
+        if bv and bh and (bv < mb_h * block or bh < mb_w * block):
+            return _mc_grouped_multi(tuple(refs), mv_h, mv_v, mb_h, mb_w,
+                                     block, bv, bh, layout)
+    return tuple(motion_compensate(r, mv_h, mv_v, mb_h, mb_w, block,
+                                   method=method, band_halo=band_halo,
+                                   layout=layout) for r in refs)
 
 
 def chroma_mv(mv: jnp.ndarray) -> jnp.ndarray:
