@@ -189,9 +189,13 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
                                band_halo=band_halo, layout='block')
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
-    pred_cr, pred_cb = motion_compensate_pair(
-        (fwd.cr, fwd.cb), cmh, cmv, mb_h, mb_w, 8, band_halo=halo_c,
-        layout='block')
+    # NOTE: batching cr+cb through one concatenated contraction pair
+    # (motion_compensate_pair) was measured ~7 ms/batch SLOWER at 720p
+    # (the 5D einsum layouts worse than two 4D passes) and reverted.
+    pred_cr = motion_compensate(fwd.cr, cmh, cmv, mb_h, mb_w, 8,
+                                band_halo=halo_c, layout='block')
+    pred_cb = motion_compensate(fwd.cb, cmh, cmv, mb_h, mb_w, 8,
+                                band_halo=halo_c, layout='block')
 
     base_y = jnp.where(written_y, pred_y,
                        _to_blocks(cur.y, mb_h, mb_w, 16).astype(jnp.int32))
