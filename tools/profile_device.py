@@ -31,7 +31,7 @@ from jsmpeg_tpu.ops.frame import Planes
 from jsmpeg_tpu.utils import fetch
 
 W, H = 1280, 720
-F = 32
+F = int(os.environ.get('PROF_F', '32'))
 
 
 def loop_time(fn, fence, k=20, reps=3):
