@@ -32,21 +32,68 @@ class _PesInfo:
 
 
 class TSDemuxer:
+    """TS demuxer with a C++ fast path (host/native/ts_demux.cpp, same
+    semantics, kept twin-identical by tests/test_native_ts.py) and this
+    module's pure-Python implementation as the always-available fallback
+    (options: native=False forces Python, native=True requires C++)."""
+
     def __init__(self, options: Optional[dict] = None):
         options = options or {}
         self.guess_video_frame_end = options.get('guessVideoFrameEnd', True)
         self.pids_to_stream_ids: Dict[int, int] = {}
         self.pes: Dict[int, _PesInfo] = {}
         self.leftover = b''
-        self.start_time = 0.0
-        self.current_time = 0.0
-        self.packets_parsed = 0
-        self.resyncs = 0
+        self._start_time = 0.0
+        self._current_time = 0.0
+        self._packets_parsed = 0
+        self._resyncs = 0
+        self._native = None
+        use_native = options.get('native')
+        if use_native is None or use_native:
+            try:
+                from .host.native import NativeTSDemux, native_available
+                if native_available():
+                    self._native = NativeTSDemux(self.guess_video_frame_end)
+            except Exception:
+                self._native = None
+            if use_native and self._native is None:
+                raise RuntimeError('native TS demuxer unavailable')
+
+    @property
+    def start_time(self) -> float:
+        return (self._native.start_time if self._native is not None
+                else self._start_time)
+
+    @property
+    def current_time(self) -> float:
+        return (self._native.current_time if self._native is not None
+                else self._current_time)
+
+    @property
+    def packets_parsed(self) -> int:
+        return (self._native.packets_parsed if self._native is not None
+                else self._packets_parsed)
+
+    @property
+    def resyncs(self) -> int:
+        return (self._native.resyncs if self._native is not None
+                else self._resyncs)
 
     def connect(self, stream_id: int, destination) -> None:
         self.pes[stream_id] = _PesInfo(destination)
+        if self._native is not None:
+            self._native.connect(stream_id)
+
+    def _dispatch(self, events) -> None:
+        for stream_id, pts, payload in events:
+            pi = self.pes.get(stream_id)
+            if pi is not None:
+                pi.destination.write(pts, [payload])
 
     def write(self, chunk) -> None:
+        if self._native is not None:
+            self._dispatch(self._native.write(bytes(chunk)))
+            return
         data = self.leftover + bytes(chunk)
         pos = 0
         n = len(data)
@@ -59,6 +106,9 @@ class TSDemuxer:
 
     def flush(self) -> None:
         """Deliver any pending reassembled PES payloads (end of stream)."""
+        if self._native is not None:
+            self._dispatch(self._native.flush())
+            return
         for pi in self.pes.values():
             if pi.current_length:
                 self._complete(pi)
@@ -72,7 +122,7 @@ class TSDemuxer:
                 return None
             pos = skip
         end = pos + T.TS_PACKET_SIZE
-        self.packets_parsed += 1
+        self._packets_parsed += 1
 
         b1 = data[pos + 1]
         payload_start = bool(b1 & 0x40)
@@ -112,9 +162,9 @@ class TSDemuxer:
                         p14_0 = (data[q + 3] << 7) | (data[q + 4] >> 1)
                         pts = (p32_30 * 1073741824 + p29_15 * 32768
                                + p14_0) / 90000.0
-                        self.current_time = pts
-                        if self.start_time == -1:
-                            self.start_time = pts
+                        self._current_time = pts
+                        if self._start_time == -1:
+                            self._start_time = pts
                     payload_length = (packet_length - header_length - 3
                                       if packet_length else 0)
                     pi.total_length = payload_length
@@ -141,10 +191,10 @@ class TSDemuxer:
         for i in range(187):
             if data[pos + i] == 0x47:
                 if all(data[pos + i + 188 * j] == 0x47 for j in range(1, 5)):
-                    self.resyncs += 1
+                    self._resyncs += 1
                     return pos + i
         # garbage: skip ahead
-        self.resyncs += 1
+        self._resyncs += 1
         return None if len(data) - (pos + 187) < 188 else pos + 187
 
     def _complete(self, pi: _PesInfo) -> None:

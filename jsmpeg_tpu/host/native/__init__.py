@@ -69,6 +69,27 @@ def _load():
     lib.mpeg1_parser_evict.restype = ctypes.c_int64
     lib.mpeg1_parser_byte_length.argtypes = [ctypes.c_void_p]
     lib.mpeg1_parser_byte_length.restype = ctypes.c_int64
+    lib.ts_demux_create.restype = ctypes.c_void_p
+    lib.ts_demux_create.argtypes = [ctypes.c_int]
+    lib.ts_demux_destroy.argtypes = [ctypes.c_void_p]
+    lib.ts_demux_connect.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.ts_demux_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                   ctypes.c_longlong, ctypes.c_void_p,
+                                   ctypes.c_longlong]
+    lib.ts_demux_write.restype = ctypes.c_longlong
+    lib.ts_demux_flush.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_longlong]
+    lib.ts_demux_flush.restype = ctypes.c_longlong
+    lib.ts_demux_current_time.argtypes = [ctypes.c_void_p]
+    lib.ts_demux_current_time.restype = ctypes.c_double
+    lib.ts_demux_start_time.argtypes = [ctypes.c_void_p]
+    lib.ts_demux_start_time.restype = ctypes.c_double
+    lib.ts_demux_packets.argtypes = [ctypes.c_void_p]
+    lib.ts_demux_packets.restype = ctypes.c_longlong
+    lib.ts_demux_resyncs.argtypes = [ctypes.c_void_p]
+    lib.ts_demux_resyncs.restype = ctypes.c_longlong
+    lib.ts_demux_pending.argtypes = [ctypes.c_void_p]
+    lib.ts_demux_pending.restype = ctypes.c_longlong
     _lib = lib
     return lib
 
@@ -365,3 +386,76 @@ class NativeMP2Parser:
 
 class _MP2BitsProxy(_BitsProxy):
     PREFIX = 'mp2_decoder'
+
+
+class NativeTSDemux:
+    """C++ TS packet parse + PES reassembly (ts_demux.cpp).  write()
+    returns completed PES packets as [(stream_id, pts, payload bytes)]."""
+
+    def __init__(self, guess_video_frame_end: bool = True):
+        self._lib = _load()
+        self._h = self._lib.ts_demux_create(1 if guess_video_frame_end
+                                            else 0)
+
+    def __del__(self):
+        if getattr(self, '_h', None):
+            self._lib.ts_demux_destroy(self._h)
+            self._h = None
+
+    def connect(self, stream_id: int) -> None:
+        self._lib.ts_demux_connect(self._h, stream_id)
+
+    def _events(self, out: np.ndarray, n: int):
+        evs = []
+        off = 0
+        buf = out[:n]
+        while off + 16 <= n:
+            stream_id, length = np.frombuffer(buf, np.uint32, 2, off)
+            pts = float(np.frombuffer(buf, np.float64, 1, off + 8)[0])
+            payload = buf[off + 16:off + 16 + int(length)].tobytes()
+            evs.append((int(stream_id), pts, payload))
+            off += 16 + int(length)
+        return evs
+
+    def _cap(self, data_len: int) -> int:
+        # every emitted payload byte comes from pending PES payloads,
+        # the carried leftover, or this write's bytes; each packet can
+        # complete at most two PES packets (the previous at
+        # payload_start plus the current)
+        pending = int(self._lib.ts_demux_pending(self._h))
+        return pending + data_len + 16 * (2 * (data_len + pending) // 188
+                                          + 32) + 4096
+
+    def write(self, chunk: bytes):
+        data = bytes(chunk)
+        cap = self._cap(len(data))
+        out = np.empty(cap, np.uint8)
+        n = self._lib.ts_demux_write(self._h, data, len(data),
+                                     out.ctypes.data_as(ctypes.c_void_p),
+                                     cap)
+        assert n >= 0, 'ts_demux output buffer overflow'
+        return self._events(out, int(n))
+
+    def flush(self):
+        cap = self._cap(0)
+        out = np.empty(cap, np.uint8)
+        n = self._lib.ts_demux_flush(
+            self._h, out.ctypes.data_as(ctypes.c_void_p), cap)
+        assert n >= 0, 'ts_demux flush buffer overflow'
+        return self._events(out, int(n))
+
+    @property
+    def current_time(self) -> float:
+        return self._lib.ts_demux_current_time(self._h)
+
+    @property
+    def start_time(self) -> float:
+        return self._lib.ts_demux_start_time(self._h)
+
+    @property
+    def packets_parsed(self) -> int:
+        return self._lib.ts_demux_packets(self._h)
+
+    @property
+    def resyncs(self) -> int:
+        return self._lib.ts_demux_resyncs(self._h)

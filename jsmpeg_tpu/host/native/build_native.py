@@ -12,7 +12,8 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 SO_PATH = os.path.join(HERE, 'libjsmpeg_host.so')
-SRCS = [os.path.join(HERE, 'frontend.cpp'), os.path.join(HERE, 'mp2.cpp')]
+SRCS = [os.path.join(HERE, 'frontend.cpp'), os.path.join(HERE, 'mp2.cpp'),
+        os.path.join(HERE, 'ts_demux.cpp')]
 DEPS = SRCS + [os.path.join(HERE, 'bitview.h'),
                os.path.join(HERE, 'gen_tables.py')]
 HDR = os.path.join(HERE, 'vlc_tables.h')

@@ -30,6 +30,14 @@ int mpeg1_parser_parse_batch_packed(void*, int, int, uint16_t*, uint8_t*,
 void mpeg1_parser_set_threads(void*, int);
 int64_t mpeg1_parser_evict(void*);
 
+void* ts_demux_create(int);
+void ts_demux_destroy(void*);
+void ts_demux_connect(void*, int);
+long long ts_demux_write(void*, const uint8_t*, long long, uint8_t*,
+                         long long);
+long long ts_demux_flush(void*, uint8_t*, long long);
+long long ts_demux_pending(void*);
+
 void* mp2_decoder_create();
 void mp2_decoder_destroy(void*);
 void mp2_decoder_write(void*, const uint8_t*, int64_t);
@@ -118,7 +126,39 @@ int main(int argc, char** argv) {
   }
   mp2_decoder_destroy(a);
 
-  std::printf("sanitize OK: batch_frames=%d serial_frames=%d audio=%d\n",
-              frames, serial_frames, audio_frames);
+  // --- TS demux: clean, chunked and corrupted input (argv[3]) ---
+  long long ts_events = 0;
+  if (argc > 3) {
+    std::vector<uint8_t> ts = slurp(argv[3]);
+    for (int round = 0; round < 3; round++) {
+      std::vector<uint8_t> in = ts;
+      if (round == 1)                       // corrupt bytes + sync marks
+        for (size_t k = 0; k < in.size(); k += 531) in[k] ^= 0x5A;
+      if (round == 2)                       // garbage prefix
+        in.insert(in.begin(), 399, 0x11);
+      void* d = ts_demux_create(1);
+      ts_demux_connect(d, 0xE0);
+      ts_demux_connect(d, 0xC0);
+      size_t step = round == 0 ? 188 * 3 : 997;
+      for (size_t off = 0; off < in.size(); off += step) {
+        size_t n = off + step <= in.size() ? step : in.size() - off;
+        long long cap = (long long)n + ts_demux_pending(d)
+                        + 16 * (2 * ((long long)n + ts_demux_pending(d))
+                                / 188 + 32) + 4096;
+        std::vector<uint8_t> out(cap);
+        long long r = ts_demux_write(d, in.data() + off, (long long)n,
+                                     out.data(), cap);
+        if (r < 0) { std::fprintf(stderr, "ts overflow\n"); return 3; }
+        ts_events += r > 0;
+      }
+      std::vector<uint8_t> out(1 << 20);
+      if (ts_demux_flush(d, out.data(), out.size()) < 0) return 3;
+      ts_demux_destroy(d);
+    }
+  }
+
+  std::printf("sanitize OK: batch_frames=%d serial_frames=%d audio=%d "
+              "ts_rounds_with_events=%lld\n",
+              frames, serial_frames, audio_frames, ts_events);
   return 0;
 }

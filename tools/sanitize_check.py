@@ -28,11 +28,16 @@ def make_fixtures(tmp: str):
         encode_test_stream
     from jsmpeg_tpu.testing.mp2_enc import encode_stream
     generate(os.path.join(NATIVE, 'vlc_tables.h'))
-    v1, _ = encode_test_stream(160, 128, n_frames=10, seed=3, gop=5)
+    v1, c1 = encode_test_stream(160, 128, n_frames=10, seed=3, gop=5)
     v2, _ = encode_realistic_stream(320, 240, n_frames=12, seed=4, gop=6)
-    a, _ = encode_stream(24, seed=5)
+    a, af = encode_stream(24, seed=5)
+    from jsmpeg_tpu.testing.ts_mux import mux_av
+    vch = c1[:-1]
+    vch[-1] = vch[-1] + c1[-1]
+    ts = mux_av(vch, 25.0, af, 1152, 44100)
     paths = []
-    for name, data in (('v1.es', v1), ('v2.es', v2), ('a.mp2', a)):
+    for name, data in (('v1.es', v1), ('v2.es', v2), ('a.mp2', a),
+                       ('av.ts', ts)):
         p = os.path.join(tmp, name)
         with open(p, 'wb') as f:
             f.write(data)
@@ -43,13 +48,15 @@ def make_fixtures(tmp: str):
 def build_and_run(tmp: str, flavor: str, flags: list, fixtures) -> None:
     exe = os.path.join(tmp, f'san_{flavor}')
     srcs = [os.path.join(NATIVE, s)
-            for s in ('frontend.cpp', 'mp2.cpp', 'sanitize_main.cpp')]
+            for s in ('frontend.cpp', 'mp2.cpp', 'ts_demux.cpp',
+                      'sanitize_main.cpp')]
     cmd = ['g++', '-O1', '-g', '-std=c++17'] + flags + srcs + ['-o', exe]
     print('+', ' '.join(cmd))
     subprocess.run(cmd, check=True)
-    v1, v2, a = fixtures
+    v1, v2, a, ts = fixtures
     for ves in (v1, v2):
-        r = subprocess.run([exe, ves, a], capture_output=True, text=True)
+        r = subprocess.run([exe, ves, a, ts], capture_output=True,
+                           text=True)
         sys.stdout.write(r.stdout)
         sys.stderr.write(r.stderr)
         if r.returncode != 0:
