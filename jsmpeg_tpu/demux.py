@@ -144,7 +144,8 @@ class TSDemuxer:
                 if p >= end:
                     return end
             if (payload_start and p + 3 < end and data[p] == 0
-                    and data[p + 1] == 0 and data[p + 2] == 1):
+                    and data[p + 1] == 0 and data[p + 2] == 1
+                    and p + 9 <= len(data)):
                 stream_id = data[p + 3]
                 self.pids_to_stream_ids[pid] = stream_id
                 packet_length = (data[p + 4] << 8) | data[p + 5]
@@ -155,7 +156,7 @@ class TSDemuxer:
                 pi = self.pes.get(stream_id)
                 if pi is not None:
                     pts = 0.0
-                    if pts_dts & 0x2:
+                    if pts_dts & 0x2 and p + 14 <= len(data):
                         q = p + 9
                         p32_30 = (data[q] >> 1) & 0x7
                         p29_15 = (data[q + 1] << 7) | (data[q + 2] >> 1)

@@ -9,9 +9,11 @@
 // caller's output buffer as events:
 //   { u32 stream_id; u32 payload_len; f64 pts; u8 payload[payload_len]; }
 // (16-byte header, packed little-endian; events are back to back).
-// Returns the number of bytes written, or -1 if the buffer is too small
-// (callers size it as len + 16 * (len / 188 + n_streams) + 64, which is
-// always sufficient: payload bytes are a subset of input bytes).
+// Returns the number of bytes written, or -1 if the buffer is too small.
+// Callers must size the buffer from ts_demux_pending() + the input length
+// + event headers (see NativeTSDemux._cap); on overflow the demux state
+// keeps every undelivered payload, so a flush with a larger buffer still
+// recovers the data (event boundaries, not bytes, may differ).
 
 #include <cstdint>
 #include <cstring>
@@ -34,15 +36,16 @@ struct Emitter {
     int64_t off = 0;
     bool overflow = false;
 
-    void emit(uint32_t stream_id, const PesState& ps) {
+    bool emit(uint32_t stream_id, const PesState& ps) {
         int64_t need = 16 + (int64_t)ps.payload.size();
-        if (off + need > cap) { overflow = true; return; }
+        if (off + need > cap) { overflow = true; return false; }
         uint32_t len = (uint32_t)ps.payload.size();
         std::memcpy(out + off, &stream_id, 4);
         std::memcpy(out + off + 4, &len, 4);
         std::memcpy(out + off + 8, &ps.pts, 8);
         if (len) std::memcpy(out + off + 16, ps.payload.data(), len);
         off += need;
+        return true;
     }
 };
 
@@ -50,6 +53,7 @@ struct TsDemux {
     bool guess_video_frame_end = true;
     std::map<int, int> pid_to_stream;
     std::map<int, PesState> pes;           // connected stream ids only
+    std::vector<int> connect_order;        // flush order = connect order
     std::vector<uint8_t> leftover;
     double start_time = 0.0;
     double current_time = 0.0;
@@ -57,9 +61,12 @@ struct TsDemux {
     int64_t resyncs = 0;
 
     void complete(int stream_id, PesState& ps, Emitter& em) {
-        em.emit((uint32_t)stream_id, ps);
-        ps.total_length = 0;
-        ps.payload.clear();
+        // on overflow the payload stays buffered: a later flush with a
+        // larger buffer still delivers it
+        if (em.emit((uint32_t)stream_id, ps)) {
+            ps.total_length = 0;
+            ps.payload.clear();
+        }
     }
 
     // returns the position after the packet, or -1 to stop (keep leftover
@@ -185,9 +192,11 @@ struct TsDemux {
 
     int64_t flush(uint8_t* out, int64_t cap) {
         Emitter em{out, cap};
-        for (auto& kv : pes)
-            if (!kv.second.payload.empty())
-                complete(kv.first, kv.second, em);
+        for (int sid : connect_order) {
+            auto it = pes.find(sid);
+            if (it != pes.end() && !it->second.payload.empty())
+                complete(sid, it->second, em);
+        }
         return em.overflow ? -1 : em.off;
     }
 };
@@ -205,7 +214,12 @@ void* ts_demux_create(int guess_video_frame_end) {
 void ts_demux_destroy(void* h) { delete (TsDemux*)h; }
 
 void ts_demux_connect(void* h, int stream_id) {
-    ((TsDemux*)h)->pes[stream_id];   // default-construct the slot
+    TsDemux* d = (TsDemux*)h;
+    // reset like the Python twin's connect() (replaces the PES slot,
+    // dropping any partial payload)
+    auto it = d->pes.find(stream_id);
+    if (it == d->pes.end()) d->connect_order.push_back(stream_id);
+    d->pes[stream_id] = PesState();
 }
 
 long long ts_demux_write(void* h, const uint8_t* data, long long len,

@@ -742,7 +742,9 @@ class MPEG1Decoder:
             return (16, 16)
         bh = band_halo_for(int(np.abs(mv[:, 0]).max()))
         bv = band_halo_for(int(np.abs(mv[:, 1]).max()))
-        return (bv, bh) if bv and bh else None
+        # bh == 0 (horizontal reach beyond buckets) still allows the
+        # row band with full-width columns; bv == 0 disables banding
+        return (bv, bh) if bv else None
 
     def _dispatch_packed(self, batch, n_frames=None):
         """Upload one packed batch as a single fused byte buffer and
@@ -878,6 +880,21 @@ class MPEG1Decoder:
             if not pending:
                 return
             md = self._mesh_decoder(mesh)
+            if not md.fits_mesh(pending):
+                # the batch's MV reach exceeds the per-tile halo (f_code
+                # beyond the floor / full_pel doubling): decode off-mesh
+                # on the default device, threading the same carry
+                from ..parallel.packed import merge_packed_frames
+                for a in range(0, len(pending), self.BATCH_FRAMES):
+                    group = pending[a:a + self.BATCH_FRAMES]
+                    batch = merge_packed_frames(group)
+                    outs = self._dispatch_packed(
+                        batch, n_frames=_bucket(len(group), lo=2))
+                    emit(PlanesBatch(Planes(outs.y, outs.cr, outs.cb),
+                                     len(group)))
+                account(len(pending))
+                pending.clear()
+                return
             # a leading I picture overwrites every pixel, so the carry
             # only matters for a mid-GOP continuation
             init = (None if pending[0]['pic_type'] == 1

@@ -182,7 +182,12 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     if band_halo:
         bv, bh = (band_halo if isinstance(band_halo, tuple)
                   else (band_halo, band_halo))
-        halo_c = (bv // 2 + 8, bh // 2 + 8)
+        # a zero component means 'reach beyond buckets, unbounded': no
+        # vertical bound disables banding entirely; no horizontal bound
+        # keeps the row band with full-width columns (bh stays 0)
+        halo_c = (bv // 2 + 8, bh // 2 + 8 if bh else 0) if bv else None
+        if not bv:
+            band_halo = None
     else:
         halo_c = None
     pred_y = motion_compensate(fwd.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,

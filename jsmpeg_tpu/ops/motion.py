@@ -306,7 +306,11 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
         if band_halo:
             bv, bh = (band_halo if isinstance(band_halo, tuple)
                       else (band_halo, band_halo))
-            if bv and bh and (bv < mb_h * block or bh < mb_w * block):
+            # bh == 0 means the horizontal reach exceeded the buckets:
+            # keep the row band with full-width columns (the band_h=0
+            # branch); bv == 0 means no vertical bound -> full windows
+            if bv and (bv < mb_h * block
+                       or (bh and bh < mb_w * block)):
                 return _mc_onehot_band(ref, mv_h, mv_v, mb_h, mb_w, block,
                                        bv, bh, layout)
         return _mc_onehot(ref, mv_h, mv_v, mb_h, mb_w, block,
@@ -333,6 +337,8 @@ def motion_compensate_pair(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     if method == 'onehot' and band_halo:
         bv, bh = (band_halo if isinstance(band_halo, tuple)
                   else (band_halo, band_halo))
+        # grouped columns require a horizontal bound; bh == 0 falls to
+        # independent calls (row band + full-width columns each)
         if bv and bh and (bv < mb_h * block or bh < mb_w * block):
             return _mc_grouped_multi(tuple(refs), mv_h, mv_v, mb_h, mb_w,
                                      block, bv, bh, layout)

@@ -32,7 +32,8 @@ from ..models.mpeg1 import (_bucket, build_fused_buffer_sized,
 from ..ops.frame import Planes
 from .gop import split_at_iframes
 from .mesh import _pvary, shard_map
-from .tiles import _levels_step, halo_mb_rows
+from .tiles import (_levels_step, batch_max_abs_mv, halo_mb_for_mvs,
+                    halo_mb_rows)
 
 _POPCOUNT8 = np.array([bin(x).count('1') for x in range(256)], np.uint8)
 
@@ -132,6 +133,18 @@ def split_frame_tiles(fr: dict, n_mb: int, mb_w: int, mb_h_local: int,
     return tiles
 
 
+def merge_packed_frames(frames: List[dict]) -> dict:
+    """Per-frame packed dicts (split_packed_frames output) -> one batch
+    dict usable by the single-device fused pipeline (the off-mesh
+    fallback when a batch's MV reach exceeds the tile halo)."""
+    batch = _concat_cell(frames, len(frames))
+    batch['n_blocks'] = int(sum(
+        (_POPCOUNT8[f['run_cbp']] * f['run_len'].astype(np.int64)).sum()
+        for f in frames))
+    batch['pic_types'] = np.array([f['pic_type'] for f in frames], np.uint8)
+    return batch
+
+
 def _concat_cell(frames: List[dict], n: int) -> dict:
     """Concatenate one tile's per-frame streams into a cell batch dict
     (the build_fused_buffer contract)."""
@@ -147,7 +160,7 @@ def _concat_cell(frames: List[dict], n: int) -> dict:
         sp_pos=cat('sp_pos').astype(np.uint8),
         sp_v8=cat('sp_v8').astype(np.int8),
         sp_esc=cat('sp_esc').astype(np.int16),
-        n_blocks=sum(f['n_blocks'] for f in frames))
+        n_blocks=sum(f.get('n_blocks', 0) for f in frames))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -221,6 +234,8 @@ class MeshPackedDecoder:
         self.mb_w = seq.mb_width
         self.mb_h_pad = -(-self.mb_h // self.n_tile) * self.n_tile
         self.mb_h_local = self.mb_h_pad // self.n_tile
+        # floor from the declared f_code; decode() raises this to the
+        # batch's ACTUAL MV reach (covers f_code > 2 / full_pel streams)
         self.halo_mb = halo_mb_rows(f_code)
         self.cw = self.mb_w * 16
         self.ch_pad = self.mb_h_pad * 16
@@ -229,6 +244,15 @@ class MeshPackedDecoder:
         self._quant = jax.device_put(
             (jnp.asarray(seq.intra_quant_matrix, jnp.int32),
              jnp.asarray(seq.non_intra_quant_matrix, jnp.int32)))
+
+    def halo_for(self, frames: List[dict]) -> int:
+        """Halo (MB rows) this batch needs: the declared-f_code floor
+        raised to the data's MV reach (bucketed).  Callers must check it
+        against mb_h_local (fits_mesh) before decode()."""
+        return max(self.halo_mb, halo_mb_for_mvs(batch_max_abs_mv(frames)))
+
+    def fits_mesh(self, frames: List[dict]) -> bool:
+        return self.halo_for(frames) <= self.mb_h_local
 
     def decode(self, frames: List[dict], init: Optional[Tuple] = None):
         """frames: per-frame packed dicts (split_packed_frames output).
@@ -269,10 +293,16 @@ class MeshPackedDecoder:
         put = lambda p: Planes(*[jax.device_put(x, self._plane_sharding)
                                  for x in p])
         iq, nq = self._quant
+        halo_mb = self.halo_for(frames)
+        if halo_mb > self.mb_h_local:
+            raise ValueError(
+                f'MV reach needs {halo_mb} MB rows of halo > '
+                f'{self.mb_h_local} rows per tile; decode these frames '
+                f'off-mesh (callers: check fits_mesh() first)')
         outs, fcur, ffwd = decode_gops_tiled_packed(
             dev_bufs, put(ic), put(ifw), iq, nq, n_frames=fmax,
             mb_h_local=self.mb_h_local, mb_w=self.mb_w, n_runs=n_runs,
-            n_blk=n_blk, halo_mb=self.halo_mb, mb_h_total=self.mb_h_pad,
+            n_blk=n_blk, halo_mb=halo_mb, mb_h_total=self.mb_h_pad,
             mesh=self.mesh)
         gl = [len(x) for x in gops]
         last = len(gops) - 1

@@ -42,6 +42,31 @@ def halo_mb_rows(f_code: int) -> int:
     return -(-reach_px // 16)
 
 
+def halo_mb_for_mvs(max_abs_mv: int) -> int:
+    """MB rows of halo covering a batch's largest |MV| (half-pel units,
+    post full-pel doubling, either axis: MPEG1 has one forward_f for
+    both and the banded tiled MC bounds columns with the same halo),
+    bucketed to powers of two so the jit-variant count stays small."""
+    reach_px = ((max_abs_mv + 1) >> 1) + 1
+    need = -(-reach_px // 16)
+    b = 1
+    while b < need:
+        b <<= 1
+    return b
+
+
+def batch_max_abs_mv(frames) -> int:
+    """max |mv component| over per-frame packed dicts / FrameData /
+    LevelsArrays-style dicts (0 when no MVs)."""
+    m = 0
+    for f in frames:
+        mv = f['run_mv'] if isinstance(f, dict) and 'run_mv' in f else \
+            f['mv'] if isinstance(f, dict) else f.mv
+        if mv is not None and mv.size:
+            m = max(m, int(np.abs(mv).max()))
+    return m
+
+
 def _exchange_halo(plane: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
     """[rows, W] -> [halo + rows + halo, W] with neighbor boundary rows
     (zeros at the frame edges; in-bounds MVs never read them)."""
@@ -343,7 +368,13 @@ def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
     stacked, _ = stack_gops(gops, g, fmax, mb_h * mb_w)
     mb_h_pad = -(-mb_h // n_tile) * n_tile
     stacked = _pad_rows(stacked, mb_h, mb_w, mb_h_pad)
-    halo = halo_mb_rows(f_code)
+    # halo sized from the DATA's actual MV reach (covers f_code > 2 and
+    # full_pel streams), floored by the declared f_code
+    halo = max(halo_mb_rows(f_code), halo_mb_for_mvs(batch_max_abs_mv(frames)))
+    if halo > mb_h_pad // n_tile:
+        raise ValueError(
+            f'MV reach needs {halo} MB rows of halo > '
+            f'{mb_h_pad // n_tile} rows per tile; use fewer tiles')
     outs = decode_gops_tiled(stacked, mb_h_pad, mb_w, halo, mb_h_pad, mesh)
     result = []
     rows = mb_h * 16
@@ -484,7 +515,11 @@ def decode_tiled_levels(es: bytes, mesh: Mesh,
     stacked = LevelsArrays(*[
         _pad_mb_rows(np.asarray(v), mb_h, mb_w, mb_h_pad)
         for v in stacked])
-    halo = halo_mb_rows(f_code)
+    halo = max(halo_mb_rows(f_code), halo_mb_for_mvs(batch_max_abs_mv(frames)))
+    if halo > mb_h_pad // n_tile:
+        raise ValueError(
+            f'MV reach needs {halo} MB rows of halo > '
+            f'{mb_h_pad // n_tile} rows per tile; use fewer tiles')
     iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
     nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
     outs = decode_gops_tiled_levels(stacked, iq, nq, mb_h_pad, mb_w, halo,
