@@ -11,29 +11,49 @@ fps_best.  vs_baseline is relative to the reference's published
 sustained 720p rate (30 fps on its target device, reference
 README.md:5); the BASELINE.json target is >10x per chip.
 
+Resilience (round-3 hardening): the device backend on this box is a
+tunneled TPU that sometimes fails or hangs at init (BENCH_r02 died there
+with rc=1 and an empty record).  The harness therefore runs in two
+parts:
+
+  parent   host-only rows (C++ parse, TS demux, MP2) -- no jax backend
+           init at all -- then spawns the device child with bounded
+           retries + a hard timeout, merges whatever rows the child
+           managed to write, and ALWAYS prints the one-line JSON and
+           exits 0.  On persistent device failure the line carries the
+           host rows plus an "error" field.
+  child    `bench.py --device-rows <file>`: every device metric, each
+           stage guarded, each completed row appended to <file>
+           immediately so a mid-run death still leaves partial rows.
+
+`python bench.py --host-only` skips the device child entirely.
+
+Env knobs: BENCH_FRAMES (default 96), BENCH_DEVICE_ATTEMPTS (3),
+BENCH_DEVICE_BACKOFF (60 s), BENCH_DEVICE_TIMEOUT (2400 s),
+BENCH_SCALING=0 to skip the mesh-scaling row.
+
 Rows:
   value/fps_best        ES bytes in host memory -> threaded C++ VLC parse
                         -> device dequant/IDCT/MC scan -> planes on device
   ts_e2e_fps            same but from .ts bytes: TS demux + PES reassembly
-                        (pure Python) included
+                        included
   host_parse_fps        C++ parse stage alone (single core)
+  ts_demux_mb_s         C++ TS demux stage alone (host)
   device_pipeline_fps   device scan alone, wire buffer resident (execution
                         forced by fetching output bytes, not only
                         block_until_ready -- see device_probe_ms)
   dense_28mbit_fps      pathological coefficient-dense stress stream
-  streaming_latency_ms  chunk-in -> decoded-frame-ready at 720p
+  streaming_latency_720p_ms   chunk-in -> decoded-frame-ready {p50, p95}
   mp2_frames_per_s      bit-exact C++ MP2 path
-
-`python bench.py --scaling` instead reports decode fps on virtual CPU
-meshes of 1/2/4/8 devices (functional scaling check only on this 1-core
-host: the virtual devices share the core, so ideal scaling is flat; on
-real multi-chip hardware the same harness measures true speedup).
+  scaling               real multi-chip rows when >1 device is visible;
+                        otherwise one virtual-8-CPU functional row
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -96,14 +116,85 @@ def build_dense_stream():
     return es
 
 
+def _median(xs):
+    return sorted(xs)[len(xs) // 2]
+
+
+# --------------------------------------------------------------------------
+# host-only rows: never touch a jax backend (importing jax is fine; only
+# jax.devices()/jnp ops trigger the init that can hang on this box)
+# --------------------------------------------------------------------------
+
+def host_rows(out):
+    es, ts = build_stream()
+    out['bitrate_mbit_s'] = round(len(es) * 8 * 30.0 / N_FRAMES / 1e6, 2)
+
+    # C++ parse stage alone (threaded batch, single core).  Measured in
+    # separate reps from e2e on a contended single-core box, so a parse
+    # rate below a concurrently-lucky e2e rate indicates outside load.
+    from jsmpeg_tpu.host import best_parser
+
+    def run_parse():
+        parser = best_parser()
+        parser.write(es)
+        parsed = 0
+        while True:
+            b = parser.parse_batch(32, eof=True)
+            if not isinstance(b, dict):
+                break
+            parsed += b['n']
+            if b['n'] < 32:
+                break
+        return parsed
+
+    parse_times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        parsed = run_parse()
+        parse_times.append(time.monotonic() - t0)
+    out['host_parse_fps'] = round(parsed / _median(parse_times), 2)
+
+    # C++ TS demux stage alone (host-side; round-2 native fast path)
+    from jsmpeg_tpu.demux import TSDemuxer
+    dtimes = []
+    for _ in range(3):
+        dem = TSDemuxer()
+        sink_bytes = []
+
+        class _Sink:
+            def write(self, pts, data):
+                sink_bytes.append(len(data))
+        dem.connect(0xE0, _Sink())
+        t0 = time.monotonic()
+        dem.write(ts)
+        dem.flush()
+        dtimes.append(time.monotonic() - t0)
+    out['ts_demux_mb_s'] = round(len(ts) / 1e6 / _median(dtimes), 1)
+
+    # MP2 frames/s (bit-exact C++ host path; Python fallback)
+    from jsmpeg_tpu.models.mp2 import MP2Decoder
+    from jsmpeg_tpu.testing.mp2_enc import encode_stream
+    aes, _ = encode_stream(400, seed=1)
+    ad = MP2Decoder()
+    ad.write(0.0, aes)
+    t0 = time.monotonic()
+    n_audio = 0
+    while ad.decode() is not None:
+        n_audio += 1
+    out['mp2_frames_per_s'] = round(n_audio / (time.monotonic() - t0), 1)
+
+
+# --------------------------------------------------------------------------
+# device rows: run in the child process (bench.py --device-rows <file>)
+# --------------------------------------------------------------------------
+
 def measure_streaming_latency():
     """Chunk-in to decoded-frame-ready latency on the live-streaming path
     at the SAME 720p operating point as the headline (BASELINE config 4;
     the reference claims ~50 ms end-to-end over a local network,
     README.md:3).  Feeds one video frame's TS packets at a time through
     demux -> streaming decoder and times until the decoded planes are
-    device-ready.  Returns median milliseconds."""
-    import jax
+    device-ready.  Returns {'p50': ms, 'p95': ms} over 3 measured runs."""
     from jsmpeg_tpu.demux import TSDemuxer
     from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
     from jsmpeg_tpu.testing.gen import encode_realistic_stream
@@ -140,21 +231,26 @@ def measure_streaming_latency():
         return lats
 
     run()                               # compile warmup
-    lats = run()
-    return sorted(lats)[len(lats) // 2] if lats else float('nan')
+    lats = []
+    for _ in range(3):
+        lats += run()
+    lats.sort()
+    if not lats:
+        return {'p50': float('nan'), 'p95': float('nan')}
+    return {'p50': round(lats[len(lats) // 2], 1),
+            'p95': round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 1)}
 
 
-def _median(xs):
-    return sorted(xs)[len(xs) // 2]
-
-
-def main():
+def device_rows(emit):
+    """Every device-touching metric.  `emit(key, value)` is called as each
+    row completes so a mid-run death still leaves the finished rows."""
     import jax
+    import jax.numpy as jnp
     from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.utils import fetch
 
     es, ts = build_stream()
-
-    from jsmpeg_tpu.utils import fetch
+    emit('device', str(jax.devices()[0]))
 
     def force(plane):
         # block_until_ready returns early over this transport (measured);
@@ -178,10 +274,11 @@ def main():
         t0 = time.monotonic()
         n = run_e2e()
         times.append(time.monotonic() - t0)
-    e2e_fps_median = n / _median(times)
-    e2e_fps_best = n / min(times)
+    emit('value', round(n / _median(times), 2))
+    emit('fps_best', round(n / min(times), 2))
+    emit('frames', n)
 
-    # .ts-input e2e: TS demux + PES reassembly (pure Python) included
+    # .ts-input e2e: TS demux + PES reassembly included
     from jsmpeg_tpu.demux import TSDemuxer
 
     def run_ts_e2e():
@@ -200,32 +297,7 @@ def main():
         t0 = time.monotonic()
         nt = run_ts_e2e()
         ts_times.append(time.monotonic() - t0)
-    ts_fps = nt / _median(ts_times)
-
-    # stage: host parse alone (threaded C++ batch).  Measured in separate
-    # reps from e2e on a contended single-core box, so a parse rate below
-    # a concurrently-lucky e2e rate indicates outside load, not magic.
-    from jsmpeg_tpu.host import best_parser
-
-    def run_parse():
-        parser = best_parser()
-        parser.write(es)
-        parsed = 0
-        while True:
-            b = parser.parse_batch(32, eof=True)
-            if not isinstance(b, dict):
-                break
-            parsed += b['n']
-            if b['n'] < 32:
-                break
-        return parsed
-
-    parse_times = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        parsed = run_parse()
-        parse_times.append(time.monotonic() - t0)
-    parse_fps = parsed / _median(parse_times)
+    emit('ts_e2e_fps', round(nt / _median(ts_times), 2))
 
     # stage: device pipeline alone (the SAME fused program the e2e path
     # runs, wire buffer device-resident).  block_until_ready alone proved
@@ -233,10 +305,8 @@ def main():
     # recorded 552k fps, far beyond HBM bandwidth), so execution is
     # forced by FETCHING output bytes each rep; device_probe_ms reports
     # both timings so the discrepancy stays visible.
-    import jax.numpy as jnp
     from jsmpeg_tpu.models.mpeg1 import build_fused_buffer, decode_scan_fused
     from jsmpeg_tpu.ops.frame import Planes
-    from jsmpeg_tpu.utils import fetch
     dec = MPEG1Decoder()
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(32, eof=True)
@@ -269,43 +339,16 @@ def main():
         r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
     np.asarray(fetch(r[2].y[-1, :1, :4]))
     fetch_s = time.monotonic() - t0
-    device_fps = 32 * 10 / fetch_s
+    emit('device_pipeline_fps', round(32 * 10 / fetch_s, 2))
     # single-batch round-trip latency (dispatch + scan + 4-byte fetch)
     t0 = time.monotonic()
     for _ in range(3):
         r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
         np.asarray(fetch(r[2].y[-1, :1, :4]))
-    batch_latency_ms = (time.monotonic() - t0) / 3 * 1000.0
-
-    # A/B: XLA dequant+IDCT formulation vs the hand-scheduled Pallas
-    # fused kernel, on one realistic frame's blocks (JSMPEG_PALLAS_IDCT=1
-    # switches the decode pipelines to the Pallas path)
-    from jsmpeg_tpu.ops.idct import dequant_premult, idct_s32
-    from jsmpeg_tpu.ops.idct_pallas import dequant_idct_pallas
-    d2 = MPEG1Decoder()
-    d2.write(0.0, es)
-    lb = d2.parser.parse_batch(1, eof=True, sparse=False, packed=False)
-    lv = jnp.asarray(lb['levels'][0].astype(np.int32))
-    qs = jnp.asarray(lb['qscale'][0].astype(np.int32))
-    it = jnp.asarray(lb['intra'][0].astype(bool))
-
-    @jax.jit
-    def xla_path(lv, qs, it, iq, nq):
-        return idct_s32(dequant_premult(lv, qs, it, iq, nq)
-                        .reshape(-1, 6, 8, 8))
-
-    jax.block_until_ready(xla_path(lv, qs, it, iq, nq))
-    jax.block_until_ready(dequant_idct_pallas(lv, qs, it, iq, nq))
-    t0 = time.monotonic()
-    for _ in range(20):
-        r1 = xla_path(lv, qs, it, iq, nq)
-    jax.block_until_ready(r1)
-    idct_xla_ms = (time.monotonic() - t0) * 50
-    t0 = time.monotonic()
-    for _ in range(20):
-        r2 = dequant_idct_pallas(lv, qs, it, iq, nq)
-    jax.block_until_ready(r2)
-    idct_pallas_ms = (time.monotonic() - t0) * 50
+    emit('device_probe_ms',
+         {'block_until_ready': round(block_s * 200, 2),
+          'fetch': round(fetch_s * 100, 2),
+          'batch_round_trip': round((time.monotonic() - t0) / 3 * 1000, 2)})
 
     # secondary: the coefficient-dense stress stream, e2e (one 32-frame
     # batch: ~10 MB on the wire per run, and exactly one extra jit variant)
@@ -324,7 +367,7 @@ def main():
         t0 = time.monotonic()
         nd = run_dense()
         dtimes.append(time.monotonic() - t0)
-    dense_fps = nd / _median(dtimes)
+    emit('dense_28mbit_fps', round(nd / _median(dtimes), 2))
 
     # 1080p sustained device rate (the reference only claims 1080p "works
     # just fine" on desktop, reference README.md:117): same fused
@@ -361,52 +404,169 @@ def main():
     for _ in range(6):
         r10 = decode_scan_fused(cur10, cur10, dev10, iq10, nq10, **kw10)
     np.asarray(fetch(r10[2].y[-1, :1, :4]))
-    fps_1080 = 32 * 6 / (time.monotonic() - t0)
+    emit('device_1080p_fps', round(32 * 6 / (time.monotonic() - t0), 2))
 
-    latency_ms = measure_streaming_latency()
+    emit('streaming_latency_720p_ms', measure_streaming_latency())
 
-    # MP2 frames/s (bit-exact C++ host path; Python fallback)
-    from jsmpeg_tpu.models.mp2 import MP2Decoder
-    from jsmpeg_tpu.testing.mp2_enc import encode_stream
-    aes, _ = encode_stream(400, seed=1)
-    ad = MP2Decoder()
-    ad.write(0.0, aes)
-    t0 = time.monotonic()
-    n_audio = 0
-    while ad.decode() is not None:
-        n_audio += 1
-    mp2_fps = n_audio / (time.monotonic() - t0)
+    # real multi-chip scaling: only measurable when the platform exposes
+    # more than one device (SURVEY section 6 / BASELINE north star: >=80%
+    # efficiency to 2 hosts).  On the 1-chip box this row is absent and
+    # the parent adds a virtual-CPU functional row instead.
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from jsmpeg_tpu.parallel.mesh import make_mesh
+        from jsmpeg_tpu.parallel.packed import decode_packed_mesh
+        rows = []
+        base_fps = None
+        g = 1
+        while g <= n_dev:
+            mesh = make_mesh(n_gop=g, n_tile=1)
+            outs = decode_packed_mesh(es, mesh)
+            np.asarray(fetch(outs[-1].y[:4]))
+            t0 = time.monotonic()
+            outs = decode_packed_mesh(es, mesh)
+            np.asarray(fetch(outs[-1].y[:4]))
+            fps = len(outs) / (time.monotonic() - t0)
+            if base_fps is None:
+                base_fps = fps
+            rows.append({'mesh': f'{g}x1', 'devices': g,
+                         'fps': round(fps, 2),
+                         'efficiency': round(fps / (base_fps * g), 3)})
+            g *= 2
+        emit('scaling', {'kind': 'real_multichip', 'rows': rows})
 
-    result = {
-        'metric': '720p_mpeg1_fps_e2e_per_chip',
-        'value': round(e2e_fps_median, 2),
-        'unit': 'fps',
-        'vs_baseline': round(e2e_fps_median / 30.0, 3),
-        'fps_best': round(e2e_fps_best, 2),
-        'ts_e2e_fps': round(ts_fps, 2),
-        'host_parse_fps': round(parse_fps, 2),
-        'device_pipeline_fps': round(device_fps, 2),
-        'device_probe_ms': {'block_until_ready': round(block_s * 200, 2),
-                            'fetch': round(fetch_s * 100, 2),
-                            'batch_round_trip': round(batch_latency_ms, 2)},
-        'dense_28mbit_fps': round(dense_fps, 2),
-        'device_1080p_fps': round(fps_1080, 2),
-        'idct_kernel_ms_per_frame': {'xla': round(idct_xla_ms, 3),
-                                     'pallas': round(idct_pallas_ms, 3)},
-        'bitrate_mbit_s': round(len(es) * 8 * 30.0 / N_FRAMES / 1e6, 2),
-        'streaming_latency_720p_ms': round(latency_ms, 1),
-        'mp2_frames_per_s': round(mp2_fps, 1),
-        'frames': n,
-        'device': str(jax.devices()[0]),
-    }
-    print(json.dumps(result))
+
+def _child_main(rows_path):
+    """Device child: run every device metric, appending each completed row
+    to rows_path as one JSON line, so the parent can recover partial
+    results if this process dies or is killed at timeout."""
+    f = open(rows_path, 'a', buffering=1)
+
+    def emit(key, value):
+        f.write(json.dumps({key: value}) + '\n')
+        f.flush()
+        os.fsync(f.fileno())
+
+    device_rows(emit)
+    f.close()
+
+
+def _read_rows(rows_path):
+    rows = {}
+    try:
+        with open(rows_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        rows.update(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+    except OSError:
+        pass
+    return rows
+
+
+def _run_device_child():
+    """Spawn `bench.py --device-rows` with bounded retries and two
+    timeouts: BENCH_DEVICE_INIT_TIMEOUT bounds the wait for the FIRST
+    row (the tunneled backend sometimes hangs forever at init -- that is
+    retryable after backoff), BENCH_DEVICE_TIMEOUT bounds the whole run
+    once the backend is up (not retried: each attempt re-pays every
+    compile).  Returns (rows, error|None)."""
+    attempts = int(os.environ.get('BENCH_DEVICE_ATTEMPTS', '3'))
+    backoff = float(os.environ.get('BENCH_DEVICE_BACKOFF', '60'))
+    total_to = float(os.environ.get('BENCH_DEVICE_TIMEOUT', '2400'))
+    init_to = float(os.environ.get('BENCH_DEVICE_INIT_TIMEOUT', '300'))
+    last_err = None
+    for attempt in range(attempts):
+        rows_path = f'/tmp/jsmpeg_bench_rows_{os.getpid()}_{attempt}.jsonl'
+        try:
+            os.unlink(rows_path)
+        except OSError:
+            pass
+        t0 = time.monotonic()
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             '--device-rows', rows_path],
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True)
+        timed_out = None
+        while proc.poll() is None:
+            time.sleep(2)
+            dt = time.monotonic() - t0
+            if dt > total_to or (dt > init_to and not _read_rows(rows_path)):
+                timed_out = 'total' if dt > total_to else 'init'
+                proc.kill()
+                proc.wait()
+                break
+        rows = _read_rows(rows_path)
+        if timed_out is None and proc.returncode == 0:
+            return rows, None
+        if timed_out:
+            last_err = (f'device child {timed_out}-timeout after '
+                        f'{time.monotonic() - t0:.0f}s')
+        else:
+            tail = (proc.stderr.read() or '').strip().splitlines()
+            last_err = ('device child rc=%d: %s'
+                        % (proc.returncode, tail[-1] if tail else ''))[:500]
+        if rows or timed_out == 'total':
+            # partial progress (or a full-budget run): the backend came
+            # up; a retry would re-pay every compile -- report what's here
+            return rows, last_err
+        # no rows: backend init flake or hang; back off and retry
+        sys.stderr.write(f'[bench] device attempt {attempt + 1}/{attempts} '
+                         f'failed in {time.monotonic() - t0:.0f}s: '
+                         f'{last_err}\n')
+        if attempt + 1 < attempts:
+            time.sleep(backoff)
+    return {}, last_err
+
+
+def _virtual_scaling_row():
+    """One functional mesh row on 8 virtual CPU devices (4 gop x 2 tile):
+    proves the sharded path runs, does NOT measure speedup (the virtual
+    devices share this host's single core)."""
+    code = (
+        "import os,time,json\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "os.environ['XLA_FLAGS']="
+        "'--xla_force_host_platform_device_count=8'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms','cpu')\n"
+        "from jsmpeg_tpu.parallel.mesh import make_mesh\n"
+        "from jsmpeg_tpu.parallel.packed import decode_packed_mesh\n"
+        "from jsmpeg_tpu.testing.gen import encode_realistic_stream\n"
+        "es,_=encode_realistic_stream(640,360,n_frames=48,seed=3,gop=6)\n"
+        "mesh=make_mesh(n_gop=4,n_tile=2)\n"
+        "outs=decode_packed_mesh(es,mesh)\n"
+        "jax.block_until_ready(outs[-1].y)\n"
+        "t0=time.monotonic()\n"
+        "outs=decode_packed_mesh(es,mesh)\n"
+        "jax.block_until_ready(outs[-1].y)\n"
+        "print(json.dumps({'fps': round(len(outs)/(time.monotonic()-t0),"
+        "2)}))\n")
+    try:
+        out = subprocess.run([sys.executable, '-c', code],
+                             capture_output=True, text=True, timeout=900)
+        for line in out.stdout.splitlines():
+            if line.startswith('{'):
+                fps = json.loads(line)['fps']
+                return {'kind': 'cpu_virtual_functional',
+                        'note': 'virtual devices share one core: checks '
+                                'the sharded path runs, not speedup',
+                        'rows': [{'mesh': '4x2', 'devices': 8,
+                                  'fps': fps}]}
+        return {'kind': 'cpu_virtual_functional',
+                'error': (out.stderr or '').strip().splitlines()[-1:][:1]}
+    except subprocess.TimeoutExpired:
+        return {'kind': 'cpu_virtual_functional', 'error': 'timeout'}
 
 
 def scaling():
-    """Mesh-scaling harness: decode fps on ('gop','tile') meshes of
-    1/2/4/8 devices.  Run per shape in a subprocess so each gets a fresh
-    backend with the requested virtual device count (or real chips when
-    the platform exposes more than one)."""
+    """Standalone mesh-scaling harness (`bench.py --scaling`): decode fps
+    on ('gop','tile') meshes of 1/2/4/8 virtual devices.  Run per shape
+    in a subprocess so each gets a fresh backend with the requested
+    device count (or real chips when the platform exposes them)."""
     shapes = [(1, 1), (2, 1), (4, 1), (8, 1), (4, 2)]
     rows = []
     for g, t in shapes:
@@ -430,7 +590,6 @@ def scaling():
             "outs=decode_packed_mesh(es,mesh)\n"
             "jax.block_until_ready(outs[-1].y)\n"
             "print(json.dumps({'fps': len(outs)/(time.monotonic()-t0)}))\n")
-        import subprocess
         out = subprocess.run([sys.executable, '-c', code],
                              capture_output=True, text=True, timeout=600)
         fps = None
@@ -445,8 +604,44 @@ def scaling():
                       'rows': rows}))
 
 
+def main(host_only=False):
+    result = {'metric': '720p_mpeg1_fps_e2e_per_chip',
+              'value': None, 'unit': 'fps', 'vs_baseline': None}
+    try:
+        host_rows(result)
+    except Exception as e:                      # noqa: BLE001
+        result['host_error'] = f'{type(e).__name__}: {e}'[:300]
+
+    error = None
+    if not host_only:
+        rows, error = _run_device_child()
+        value = rows.pop('value', None)
+        result.update(rows)
+        if value is not None:
+            result['value'] = value
+            result['vs_baseline'] = round(value / 30.0, 3)
+    if result['value'] is None:
+        # persistent device failure: keep rc=0 and a parsed metric by
+        # reporting the host parse stage as the headline, clearly labeled
+        result['metric'] = '720p_mpeg1_fps_host_parse_only'
+        result['value'] = result.get('host_parse_fps')
+        if result['value'] is not None:
+            result['vs_baseline'] = round(result['value'] / 30.0, 3)
+        result['error'] = error or 'device rows skipped (--host-only)'
+    elif error:
+        result['error'] = error
+
+    if 'scaling' not in result and os.environ.get('BENCH_SCALING') != '0':
+        result['scaling'] = _virtual_scaling_row()
+
+    print(json.dumps(result))
+
+
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
         scaling()
+    elif '--device-rows' in sys.argv:
+        _child_main(sys.argv[sys.argv.index('--device-rows') + 1])
     else:
-        main()
+        main(host_only='--host-only' in sys.argv)
+    sys.exit(0)

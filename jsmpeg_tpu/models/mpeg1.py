@@ -22,29 +22,13 @@ from ..ops.cumsum import indicator_cumsum
 from ..ops.frame import FrameArrays, LevelsArrays, Planes, \
     decode_frame_planes, decode_frame_step, levels_to_frame
 
-# JSMPEG_PALLAS_IDCT=1 routes the levels-wire scans through the
-# hand-scheduled Pallas fused dequant+IDCT kernel instead of the XLA
-# formulation (same integer semantics, bit-exact: tests/test_dequant_
-# device.py).  Trace-time flag: set it before the first decode of the
-# process.  bench.py reports an A/B kernel timing for both.
-USE_PALLAS_IDCT = os.environ.get('JSMPEG_PALLAS_IDCT', '') == '1'
-
-
 def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
                      mb_h: int, mb_w: int, band_halo: int = None):
     """Shared lax.scan step for every levels-wire pipeline: dequant +
-    IDCT + MC + assembly for one frame (flag-routed kernel choice)."""
-    if USE_PALLAS_IDCT:
-        from ..ops.idct_pallas import dequant_idct_pallas
-        resid = dequant_idct_pallas(la.levels, la.qscale, la.intra,
-                                    intra_q, non_intra_q,
-                                    interpret=jax.default_backend() == 'cpu')
-        # fr.coef goes unused when resid is passed; XLA dead-code
-        # eliminates the duplicate dequant
-        fr = levels_to_frame(la, intra_q, non_intra_q)
-        return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w,
-                                 resid=resid.reshape(-1, 6, 8, 8),
-                                 band_halo=band_halo)
+    IDCT + MC + assembly for one frame.  (A hand-scheduled Pallas
+    dequant+IDCT alternative was measured slower than the XLA fusion and
+    shelved to tools/idct_pallas_shelved.py; negative result in
+    docs/PERF_ANALYSIS.md.)"""
     fr = levels_to_frame(la, intra_q, non_intra_q)
     return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w,
                              band_halo=band_halo)

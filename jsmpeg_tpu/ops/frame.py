@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from .idct import idct_s32
-from .motion import chroma_mv, motion_compensate, motion_compensate_pair
+from .motion import chroma_mv, motion_compensate
 
 
 class FrameArrays(NamedTuple):
@@ -195,7 +195,7 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
     # NOTE: batching cr+cb through one concatenated contraction pair
-    # (motion_compensate_pair) was measured ~7 ms/batch SLOWER at 720p
+    # was measured ~7 ms/batch SLOWER at 720p (PERF_ANALYSIS.md)
     # (the 5D einsum layouts worse than two 4D passes) and reverted.
     pred_cr = motion_compensate(fwd.cr, cmh, cmv, mb_h, mb_w, 8,
                                 band_halo=halo_c, layout='block')

@@ -318,35 +318,6 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     return _mc_gather(ref, mv_h, mv_v, mb_h, mb_w, block, layout=layout)
 
 
-def motion_compensate_pair(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
-                           mb_h: int, mb_w: int, block: int,
-                           method: str = None, band_halo=None,
-                           layout: str = 'plane'):
-    """motion_compensate for a tuple of same-shape planes sharing the
-    motion vectors (the two chroma planes): on the banded one-hot path
-    both planes ride ONE pair of contractions (the one-hots are built
-    once), saving a full einsum pass per frame.  Falls back to
-    independent calls otherwise.
-
-    Measured ~7 ms per 32-frame 720p batch SLOWER than two independent
-    calls inside the decode scan (the 5D einsum layouts worse than two
-    4D passes), so the pipeline does NOT use it; kept as a tested
-    formulation record."""
-    if method is None:
-        method = 'gather' if jax.default_backend() == 'cpu' else 'onehot'
-    if method == 'onehot' and band_halo:
-        bv, bh = (band_halo if isinstance(band_halo, tuple)
-                  else (band_halo, band_halo))
-        # grouped columns require a horizontal bound; bh == 0 falls to
-        # independent calls (row band + full-width columns each)
-        if bv and bh and (bv < mb_h * block or bh < mb_w * block):
-            return _mc_grouped_multi(tuple(refs), mv_h, mv_v, mb_h, mb_w,
-                                     block, bv, bh, layout)
-    return tuple(motion_compensate(r, mv_h, mv_v, mb_h, mb_w, block,
-                                   method=method, band_halo=band_halo,
-                                   layout=layout) for r in refs)
-
-
 def chroma_mv(mv: jnp.ndarray) -> jnp.ndarray:
     """Luma half-pel vector -> chroma half-pel vector: truncate-toward-zero
     division by two (JS `(x/2)|0` semantics at src/mpeg1.js:562-565)."""

@@ -394,18 +394,10 @@ def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
 
 def _levels_step(carry, la, intra_q, non_intra_q, mb_h_local: int,
                  mb_w: int, halo_mb: int, mb_h_total: int, axis: str):
-    from ..models.mpeg1 import USE_PALLAS_IDCT
     from ..ops.frame import levels_to_frame
     f = levels_to_frame(la, intra_q, non_intra_q)
-    resid = None
-    if USE_PALLAS_IDCT:
-        from ..ops.idct_pallas import dequant_idct_pallas
-        resid = dequant_idct_pallas(la.levels, la.qscale, la.intra,
-                                    intra_q, non_intra_q,
-                                    interpret=jax.default_backend() == 'cpu')
-        resid = resid.reshape(-1, 6, 8, 8)
     return _tiled_step(carry, f, mb_h_local, mb_w, halo_mb, mb_h_total,
-                       axis, resid=resid)
+                       axis)
 
 
 @functools.partial(jax.jit, static_argnames=('mb_h_pad', 'mb_w', 'halo_mb',

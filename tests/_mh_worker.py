@@ -24,7 +24,12 @@ def main():
     mh.initialize(f'127.0.0.1:{port}', int(num_proc), int(pid))
 
     from jsmpeg_tpu.testing.gen import encode_realistic_stream
-    es, _ = encode_realistic_stream(96, 128, n_frames=14, seed=21, gop=3)
+    # enough GOPs that every host owns at least one real (non-padding)
+    # row of the global 'gop' axis: G rows pad to a multiple of the gop
+    # axis and split contiguously, per_host = G / num_proc
+    n_frames = 14 if int(num_proc) <= 2 else 22
+    es, _ = encode_realistic_stream(96, 128, n_frames=n_frames, seed=21,
+                                    gop=3)
 
     seq, my_frames, my_planes = mh.decode_packed_multihost(
         es, n_tile=int(n_tile))

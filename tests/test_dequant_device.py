@@ -75,12 +75,16 @@ def test_dequant_custom_matrices():
 
 
 def test_pallas_dequant_idct_bit_exact():
-    """The Pallas fused dequant+IDCT kernel matches the XLA path exactly
-    (interpret mode here; the same kernel is Mosaic-verified on TPU)."""
+    """The shelved Pallas fused dequant+IDCT kernel (slower than the XLA
+    fusion on v5e, demoted to tools/ -- docs/PERF_ANALYSIS.md) still
+    matches the XLA path exactly (interpret mode here)."""
+    import sys
     import numpy as np
     import jax.numpy as jnp
     from jsmpeg_tpu.ops.idct import dequant_premult, idct_s32
-    from jsmpeg_tpu.ops.idct_pallas import dequant_idct_pallas
+    sys.path.insert(0, str(__import__('pathlib').Path(__file__)
+                           .resolve().parents[1] / 'tools'))
+    from idct_pallas_shelved import dequant_idct_pallas
 
     rng = np.random.default_rng(3)
     n_mb = 30

@@ -157,22 +157,6 @@ def test_edge_paths_python_parser():
         np.testing.assert_array_equal(gcb, np.asarray(p.cb), err_msg=f'f{i}')
 
 
-def test_pallas_idct_flag_bit_exact(monkeypatch):
-    """JSMPEG_PALLAS_IDCT routes the levels-wire scans through the fused
-    Pallas dequant+IDCT kernel (interpret mode on CPU); output stays
-    bit-exact.  Cache-cleared around the flip: the flag is trace-time."""
-    import jax
-    import jsmpeg_tpu.models.mpeg1 as m
-    es, _ = encode_test_stream(64, 48, n_frames=5, seed=31, gop=5)
-    golden = OracleMPEG1(es).decode_all()
-    monkeypatch.setattr(m, 'USE_PALLAS_IDCT', True)
-    jax.clear_caches()
-    try:
-        assert _compare(es) == len(golden)
-    finally:
-        jax.clear_caches()
-
-
 def test_1080p_bit_exact():
     # the reference claims 1080p playback works on desktop
     # (/root/reference/README.md:117); prove decode parity at that size

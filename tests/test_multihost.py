@@ -62,21 +62,21 @@ def test_index_gops_matches_parse():
         off += n
 
 
-@pytest.mark.parametrize('n_tile', [1, 2])
-def test_two_process_decode(n_tile):
+def _run_workers(n_proc, n_tile, timeout=300):
     port = _free_port()
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)       # worker sets its own device count
     env.pop('JSMPEG_TPU_TESTS', None)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_WORKER)))
     procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(port), '2', str(pid), str(n_tile)],
+        [sys.executable, _WORKER, str(port), str(n_proc), str(pid),
+         str(n_tile)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-        text=True, cwd=repo_root) for pid in range(2)]
+        text=True, cwd=repo_root) for pid in range(n_proc)]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -85,3 +85,15 @@ def test_two_process_decode(n_tile):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'worker {pid} failed:\n{out}'
         assert 'bit-exact' in out
+
+
+@pytest.mark.parametrize('n_tile', [1, 2])
+def test_two_process_decode(n_tile):
+    _run_workers(2, n_tile)
+
+
+def test_four_process_tiled_decode():
+    """4 hosts x 4 virtual devices, n_tile=2 (an 8x2 global mesh): shakes
+    out bucket agreement (allgather over 4 processes) and the
+    addressable-shard readout when hosts own multiple gop rows."""
+    _run_workers(4, 2, timeout=600)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import tables as T
+from jsmpeg_tpu import tables as T
 
 _LANES = 128            # blocks per kernel instance (lane dimension)
 
