@@ -311,7 +311,7 @@ def device_rows(emit):
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(32, eof=True)
     seq = dec.parser.seq
-    buf, n_blk, n_runs = build_fused_buffer(batch, 32)
+    buf, n_blk, n_runs, mvw = build_fused_buffer(batch, 32, seq.mb_size)
     dev = jax.device_put(buf)
     cw, ch = seq.coded_width, seq.coded_height
     z = lambda hh, ww: jnp.zeros((hh, ww), dtype=jnp.uint8)
@@ -321,7 +321,7 @@ def device_rows(emit):
     nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
     kw = dict(mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=32,
               n_blk=n_blk, n_runs=n_runs,
-              band_halo=MPEG1Decoder._band_halo(batch))
+              band_halo=MPEG1Decoder._band_halo(batch), mv_wide=mvw)
     r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
     np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
     # sustained rate: dispatch the reps back-to-back and fence ONCE with a
@@ -387,7 +387,7 @@ def device_rows(emit):
     d10.write(0.0, es_1080)
     b10 = d10.parser.parse_batch(32, eof=True)
     s10 = d10.parser.seq
-    buf10, nb10, nr10 = build_fused_buffer(b10, 32)
+    buf10, nb10, nr10, mvw10 = build_fused_buffer(b10, 32, s10.mb_size)
     dev10 = jax.device_put(buf10)
     z10 = lambda hh, ww: jnp.zeros((hh, ww), dtype=jnp.uint8)
     cur10 = Planes(z10(s10.coded_height, s10.coded_width),
@@ -397,7 +397,7 @@ def device_rows(emit):
     nq10 = jnp.asarray(s10.non_intra_quant_matrix, dtype=jnp.int32)
     kw10 = dict(mb_h=s10.mb_height, mb_w=s10.mb_width, n_frames=32,
                 n_blk=nb10, n_runs=nr10,
-                band_halo=MPEG1Decoder._band_halo(b10))
+                band_halo=MPEG1Decoder._band_halo(b10), mv_wide=mvw10)
     r10 = decode_scan_fused(cur10, cur10, dev10, iq10, nq10, **kw10)
     np.asarray(fetch(r10[2].y[-1, :1, :4]))
     t0 = time.monotonic()

@@ -114,13 +114,25 @@ def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
     return cur, fwd, outs
 
 
-def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int):
+def _bitmap_bytes(n_frames: int, n_mb: int) -> int:
+    return (n_frames * n_mb + 7) // 8
+
+
+def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
+                 mv_wide: bool = False):
     """Decode the single-upload wire buffer into per-MB streams.
 
-    Layout: [valid F][run_len LE u16 2R][run_flags R][run_cbp R]
-    [run_mv LE i16 4R][sp_pos P][sp_v8 i8 P][sp_esc LE i16 2*(P//8)], so
-    P = (len-F-8R)*4//9.  Per-MB metadata is run-length encoded over
-    (flags, cbp, mv) tuples; runs expand via cumsum + searchsorted.
+    Layout (wire v2, round 3): [valid F][run-start bitmap B=(F*n_mb+7)//8]
+    [run records][sp_pos P][sp_v8 i8 P][sp_esc LE i16 2*(P//8)], so
+    P = (len-F-B-wR)*4//9.  Per-MB metadata is run-length encoded over
+    (flags, cbp, mv) tuples, but the run LENGTHS never ride the wire:
+    one bit per MB marks run starts (bitorder little), and the device
+    expands them with a single exact MXU cumsum -- smaller than the old
+    u16 lengths (8 B/run) AND cheaper than the start-scatter it replaces.
+    Run records are w=4 bytes [flags, cbp, mv_h i8, mv_v i8] when every
+    |mv| fits int8 (the common case; one int32 row-take per MB), or
+    w=8 bytes [mv_h i16, mv_v i16, flags, cbp, 0, 0] when the batch
+    carries wide vectors (static `mv_wide`, a separate jit variant).
     Coefficient values ride as int8 with -128 escaping to the int16 side
     stream (~2 B/coefficient on the wire).
 
@@ -128,20 +140,16 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int):
     sp_pos[P], sp_val[P])."""
     F = n_frames
     R = n_runs
-    P = (buf.shape[0] - F - 8 * R) * 4 // 9
+    B = _bitmap_bytes(F, n_mb)
+    w = 8 if mv_wide else 4
+    P = (buf.shape[0] - F - B - w * R) * 4 // 9
     E = P // 8
     o = F
     valid = buf[:F] != 0
-    run_len = jax.lax.bitcast_convert_type(
-        buf[o:o + 2 * R].reshape(R, 2), jnp.uint16)
-    o += 2 * R
-    run_flags = buf[o:o + R]
-    o += R
-    run_cbp = buf[o:o + R]
-    o += R
-    run_mv32 = jax.lax.bitcast_convert_type(
-        buf[o:o + 4 * R].reshape(R, 4), jnp.int32)
-    o += 4 * R
+    bm = buf[o:o + B]
+    o += B
+    rec = buf[o:o + w * R]
+    o += w * R
     sp_pos = buf[o:o + P]
     o += P
     sp_v8 = jax.lax.bitcast_convert_type(buf[o:o + P], jnp.int8)
@@ -152,47 +160,50 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int):
     eslot = jnp.clip(indicator_cumsum(is_esc) - 1, 0, E - 1)
     sp_val = jnp.where(is_esc, sp_esc[eslot], sp_v8.astype(jnp.int16))
 
-    # expand runs -> per-MB streams.  Run slot per MB = (number of run
-    # starts at or before the MB) - 1: scatter a 1 at each non-empty
-    # run's start, then an exact MXU cumsum (ops/cumsum.py; a log-depth
-    # scan over F*n_mb elements costs milliseconds on v5e, the
-    # triangular matmul ~0.1 ms).  The start positions themselves are a
-    # cumsum of uint16 lengths, taken per byte so every matmul input
-    # stays bfloat16-exact.  Padding runs have length 0 and scatter
-    # nothing; MBs past the last real run (only invalid padding frames)
-    # read the last run's values, which the valid mask discards.
-    lens = run_len.astype(jnp.int32)
-    csum = (indicator_cumsum(lens & 0xFF, vmax=256)
-            + (indicator_cumsum(lens >> 8, vmax=256) << 8))
-    starts = csum - lens
-    ones = jnp.zeros((F * n_mb,), jnp.float32).at[starts].add(
-        (lens > 0).astype(jnp.float32), mode='drop')
-    slot = jnp.maximum(indicator_cumsum(ones) - 1, 0)
-    # one row-take instead of two scalar takes: gather cost is per index
-    # on TPU, so fetching (meta, mv) as an 8-byte row halves it
-    tbl = jnp.stack([run_flags.astype(jnp.int32)
-                     | (run_cbp.astype(jnp.int32) << 8), run_mv32], axis=1)
-    taken = jnp.take(tbl, slot, axis=0)
-    meta = taken[:, 0]
-    flags = (meta & 0xFF).astype(jnp.uint8).reshape(F, n_mb)
-    cbp = ((meta >> 8) & 0xFF).astype(jnp.uint8).reshape(F, n_mb)
-    mv16 = jax.lax.bitcast_convert_type(
-        taken[:, 1], jnp.int16).reshape(F, n_mb, 2)
+    # expand runs -> per-MB streams: run slot per MB = (number of run
+    # starts at or before the MB) - 1, straight off the bitmap with one
+    # exact MXU cumsum (ops/cumsum.py).  MBs of padding frames (no run
+    # starts) read the last real run's values, discarded by the valid
+    # mask; an all-empty cell reads the zero record (flags 0: not
+    # written, not coded).
+    bits = ((bm[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+    slot = jnp.maximum(
+        indicator_cumsum(bits.reshape(-1)[:F * n_mb]) - 1, 0)
+    if mv_wide:
+        tbl = jax.lax.bitcast_convert_type(
+            rec.reshape(R, 2, 4), jnp.int32)
+        taken = jnp.take(tbl, slot, axis=0)
+        mv16 = jax.lax.bitcast_convert_type(
+            taken[:, 0], jnp.int16).reshape(F, n_mb, 2)
+        meta = taken[:, 1]
+        flags = (meta & 0xFF).astype(jnp.uint8).reshape(F, n_mb)
+        cbp = ((meta >> 8) & 0xFF).astype(jnp.uint8).reshape(F, n_mb)
+    else:
+        # ONE int32 column: [flags, cbp, mv_h i8, mv_v i8] per record --
+        # a single-column gather (cost is per index on TPU)
+        tbl = jax.lax.bitcast_convert_type(rec.reshape(R, 4), jnp.int32)
+        taken = jnp.take(tbl, slot, axis=0)
+        bu = jax.lax.bitcast_convert_type(taken, jnp.uint8)
+        bi = jax.lax.bitcast_convert_type(taken, jnp.int8)
+        flags = bu[:, 0].reshape(F, n_mb)
+        cbp = bu[:, 1].reshape(F, n_mb)
+        mv16 = bi[:, 2:4].astype(jnp.int16).reshape(F, n_mb, 2)
     return valid, flags, cbp, mv16, sp_pos, sp_val
 
 
 @functools.partial(jax.jit,
                    static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
-                                    'n_runs', 'band_halo'))
+                                    'n_runs', 'band_halo', 'mv_wide'))
 def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                       mb_h: int, mb_w: int, n_frames: int, n_blk: int,
-                      n_runs: int, band_halo: int = None):
+                      n_runs: int, band_halo: int = None,
+                      mv_wide: bool = False):
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links);
     see unpack_fused for the wire layout."""
     valid, flags, cbp, mv16, sp_pos, sp_val = unpack_fused(
-        buf, n_frames, mb_h * mb_w, n_runs)
+        buf, n_frames, mb_h * mb_w, n_runs, mv_wide)
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk,
                         band_halo)
@@ -366,19 +377,36 @@ def fused_pair_bucket(total: int, n_esc: int) -> int:
     return bucket
 
 
-def build_fused_buffer(batch: dict, n_frames: int):
+def mv_fits_narrow(mv: np.ndarray) -> bool:
+    """True when every component of an int16 MV array fits int8 (the
+    narrow 4-byte run record)."""
+    return bool(mv.size == 0 or (mv.min() >= -128 and mv.max() <= 127))
+
+
+def fused_buffer_len(n_frames: int, n_mb: int, n_pairs: int, n_runs: int,
+                     mv_wide: bool) -> int:
+    """Total wire-v2 buffer length for the given static sizes."""
+    return (n_frames + _bitmap_bytes(n_frames, n_mb)
+            + (8 if mv_wide else 4) * n_runs
+            + 2 * n_pairs + 2 * (n_pairs // 8))
+
+
+def build_fused_buffer(batch: dict, n_frames: int, n_mb: int):
     """Assemble the single-upload wire buffer for decode_scan_fused from a
-    packed parse_batch dict.  Returns (buf uint8, n_blk, n_runs) with
-    bucketed static sizes (see unpack_fused for the layout)."""
+    packed parse_batch dict.  Returns (buf uint8, n_blk, n_runs, mv_wide)
+    with bucketed static sizes (see unpack_fused for the layout)."""
     bucket = fused_pair_bucket(len(batch['sp_pos']), len(batch['sp_esc']))
     n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
     n_runs = _bucket(max(len(batch['run_len']), 1), lo=256)
-    buf = build_fused_buffer_sized(batch, n_frames, bucket, n_runs)
-    return buf, n_blk, n_runs
+    mv_wide = not mv_fits_narrow(batch['run_mv'])
+    buf = build_fused_buffer_sized(batch, n_frames, bucket, n_runs, n_mb,
+                                   mv_wide)
+    return buf, n_blk, n_runs, mv_wide
 
 
 def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
-                             n_runs: int) -> np.ndarray:
+                             n_runs: int, n_mb: int,
+                             mv_wide: bool = False) -> np.ndarray:
     """build_fused_buffer with caller-fixed bucket sizes (mesh cells share
     one shape so the sharded decode compiles once)."""
     F = n_frames
@@ -388,18 +416,38 @@ def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
     bucket = n_pairs
     rt = len(batch['run_len'])
     assert total <= bucket and n_esc <= bucket // 8 and rt <= n_runs
-    buf = np.zeros(F + 8 * n_runs + 2 * bucket + 2 * (bucket // 8),
+    B = _bitmap_bytes(F, n_mb)
+    w = 8 if mv_wide else 4
+    buf = np.zeros(F + B + w * n_runs + 2 * bucket + 2 * (bucket // 8),
                    dtype=np.uint8)
     buf[:F] = np.arange(F) < n
     o = F
-    buf[o:o + 2 * rt] = batch['run_len'].view(np.uint8)
-    o += 2 * n_runs
-    buf[o:o + rt] = batch['run_flags']
-    o += n_runs
-    buf[o:o + rt] = batch['run_cbp']
-    o += n_runs
-    buf[o:o + 4 * rt] = batch['run_mv'].reshape(-1).view(np.uint8)
-    o += 4 * n_runs
+    # run-start bitmap: bit (i & 7) of byte (i >> 3) marks MB i opening a
+    # run.  Real runs are never empty (the RLE invariant; asserted --
+    # an empty mid-stream run would desync slot<->record), so start
+    # positions are distinct and the device's bit-cumsum numbers runs in
+    # record order.
+    lens = batch['run_len'].astype(np.int64)
+    assert rt == 0 or lens.min() > 0
+    starts = np.cumsum(lens) - lens
+    bm = np.zeros(B, np.uint8)
+    np.bitwise_or.at(bm, starts >> 3, (1 << (starts & 7)).astype(np.uint8))
+    buf[o:o + B] = bm
+    o += B
+    rec = np.zeros((n_runs, w), np.uint8)
+    mv = batch['run_mv']
+    if mv_wide:
+        rec[:rt, 0:4] = mv.astype('<i2').reshape(rt, 2).view(
+            np.uint8).reshape(rt, 4)
+        rec[:rt, 4] = batch['run_flags']
+        rec[:rt, 5] = batch['run_cbp']
+    else:
+        assert mv_fits_narrow(mv)
+        rec[:rt, 0] = batch['run_flags']
+        rec[:rt, 1] = batch['run_cbp']
+        rec[:rt, 2:4] = mv.astype(np.int8).reshape(rt, 2).view(np.uint8)
+    buf[o:o + w * n_runs] = rec.reshape(-1)
+    o += w * n_runs
     # padding pairs: bit 6 set (never scattered), bit 7 clear (do not
     # advance the block slot); padding values 0 (not the escape sentinel)
     buf[o:o + bucket] = 0x40
@@ -730,27 +778,52 @@ class MPEG1Decoder:
         # row band with full-width columns; bv == 0 disables banding
         return (bv, bh) if bv else None
 
-    def _dispatch_packed(self, batch, n_frames=None):
+    def _h2d_pool(self):
+        """Single-worker feeder thread for wire uploads: device_put of
+        batch k+1 runs while scan k executes and its outputs are fetched
+        (the sustained tunnel H2D rate is the e2e bottleneck)."""
+        pool = getattr(self, '_h2d', None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._h2d = pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix='jsmpeg-h2d')
+        return pool
+
+    def _stage_packed(self, batch, n_frames=None):
+        """Assemble one packed batch's fused wire buffer and start its
+        H2D transfer on the feeder thread.  Returns the staging dict
+        _dispatch_packed consumes; the future resolves to the device
+        buffer."""
+        seq = self.parser.seq
+        F = n_frames or self.BATCH_FRAMES
+        buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F,
+                                                         seq.mb_size)
+        return dict(fut=self._h2d_pool().submit(jax.device_put, buf),
+                    F=F, n_blk=n_blk, n_runs=n_runs, mv_wide=mv_wide,
+                    band_halo=self._band_halo(batch))
+
+    def _dispatch_packed(self, batch, n_frames=None, staged=None):
         """Upload one packed batch as a single fused byte buffer and
         dispatch its device scan (async).  One transfer per batch: the
         transport has high per-RPC latency, so round trips dominate small
         uploads."""
         seq = self.parser.seq
         iq, nq = self._quant_matrices()
-        F = n_frames or self.BATCH_FRAMES
-        buf, n_blk, n_runs = build_fused_buffer(batch, F)
-        dev = jax.device_put(buf)
+        if staged is None:
+            staged = self._stage_packed(batch, n_frames)
+        dev = staged['fut'].result()
         self._cur, self._fwd, outs = decode_scan_fused(
             self._cur, self._fwd, dev, iq, nq,
-            mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F, n_blk=n_blk,
-            n_runs=n_runs, band_halo=self._band_halo(batch))
+            mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=staged['F'],
+            n_blk=staged['n_blk'], n_runs=staged['n_runs'],
+            band_halo=staged['band_halo'], mv_wide=staged['mv_wide'])
         return outs
 
-    def _dispatch_batch(self, batch, n_frames=None):
+    def _dispatch_batch(self, batch, n_frames=None, staged=None):
         """Upload one parsed batch (any wire format) and dispatch its
         device scan; returns the stacked Planes output (async)."""
         if 'sp_pos' in batch:
-            return self._dispatch_packed(batch, n_frames)
+            return self._dispatch_packed(batch, n_frames, staged)
         seq = self.parser.seq
         n = batch['n']
         # F must match the leading axis of the parsed arrays: decode()'s
@@ -796,23 +869,34 @@ class MPEG1Decoder:
         of batch k+1 overlapped against the (async) upload + scan of batch
         k.  Returns needs_serial_fallback.  release=True renders each
         batch to the destination and drops its device arrays."""
+        def stage_groups(b):
+            """Split a parsed batch into scatter-bounded frame groups and
+            start each group's wire upload on the feeder thread."""
+            if not isinstance(b, dict):
+                return []
+            groups = split_packed_batch(b) if 'sp_pos' in b else [b]
+            return [(g, self._stage_packed(g) if 'sp_pos' in g else None)
+                    for g in groups]
+
         batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
+        staged = stage_groups(batch)
         while True:
             if batch == 'fallback':
                 return True
             if batch is None:
                 return False
-            # dispatch is async: the device transfers + scans of this batch
-            # proceed while the C++ parser (GIL released) runs the next;
-            # coefficient-dense batches split into frame groups so every
-            # jit variant keeps a one-segment scatter
+            # three-way overlap per iteration: the device scans batch k
+            # (dispatch is async), the C++ parser (GIL released) produces
+            # batch k+1, and the feeder thread uploads k+1's wire while
+            # k's outputs are still being fetched below.  Coefficient-
+            # dense batches split into frame groups so every jit variant
+            # keeps a one-segment scatter.
             n = batch['n']
-            groups = (split_packed_batch(batch) if 'sp_pos' in batch
-                      else [batch])
-            dispatched = [(self._dispatch_batch(g, n_frames=None), g['n'])
-                          for g in groups]
+            dispatched = [(self._dispatch_batch(g, n_frames=None, staged=s),
+                           g['n']) for g, s in staged]
             batch = (self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
                      if n == self.BATCH_FRAMES else None)
+            staged = stage_groups(batch)
             self.frames_decoded += n
             for _ in range(n):
                 self.advance_decoded_time(1.0 / self.frame_rate)

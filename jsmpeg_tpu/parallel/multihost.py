@@ -192,7 +192,8 @@ def decode_packed_multihost(es: bytes, n_tile: int = 1, f_code: int = 2):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..ops.frame import Planes
-    from ..models.mpeg1 import build_fused_buffer_sized
+    from ..models.mpeg1 import (build_fused_buffer_sized, fused_buffer_len,
+                                mv_fits_narrow)
     from .packed import (_concat_cell, decode_gops_tiled_packed,
                          split_frame_tiles)
     from .tiles import halo_mb_rows
@@ -230,21 +231,24 @@ def decode_packed_multihost(es: bytes, n_tile: int = 1, f_code: int = 2):
          for f in frames], n=len(frames)) for t in range(n_tile_axis)]
         for gi, frames in my_gops.items()}
 
-    # agree on global static shapes (one allgather)
-    local_max = np.zeros(4, np.int64)
+    # agree on global static shapes (one allgather; [4] = wide-MV flag)
+    local_max = np.zeros(5, np.int64)
     local_max[3] = max((len(f) for f in my_gops.values()), default=1)
     for row in cells.values():
         for c in row:
             local_max[:3] = np.maximum(local_max[:3], [
                 fused_pair_bucket(len(c['sp_pos']), len(c['sp_esc'])),
                 len(c['run_len']), c['n_blocks']])
+            local_max[4] |= not mv_fits_narrow(c['run_mv'])
     gmax = _agree_maxima(local_max)
     n_pairs = fused_pair_bucket(int(gmax[0]), 0)
     n_runs = _bucket(max(int(gmax[1]), 1), lo=64)
     n_blk = _bucket(max(int(gmax[2]), 1), lo=256)
     fmax = _bucket(max(int(gmax[3]), 1), lo=2)
+    mv_wide = bool(gmax[4])
 
-    L = fmax + 8 * n_runs + 2 * n_pairs + 2 * (n_pairs // 8)
+    n_mb_local = mb_h_local * mb_w
+    L = fused_buffer_len(fmax, n_mb_local, n_pairs, n_runs, mv_wide)
     empty = _concat_cell([], 0)
 
     # assemble the global [G, T, L] cell-buffer array from local shards
@@ -262,8 +266,8 @@ def decode_packed_multihost(es: bytes, n_tile: int = 1, f_code: int = 2):
             row = cells.get(gi)
             for b, t in enumerate(ts):
                 cell = row[t] if row is not None else empty
-                block[a, b] = build_fused_buffer_sized(cell, fmax, n_pairs,
-                                                       n_runs)
+                block[a, b] = build_fused_buffer_sized(
+                    cell, fmax, n_pairs, n_runs, n_mb_local, mv_wide)
         shards.append(jax.device_put(block, device))
     gbuf = jax.make_array_from_single_device_arrays(
         (G, n_tile_axis, L), buf_sharding, shards)
@@ -287,7 +291,8 @@ def decode_packed_multihost(es: bytes, n_tile: int = 1, f_code: int = 2):
     outs, _, _ = decode_gops_tiled_packed(
         gbuf, mkp(), mkp(), iq, nq, n_frames=fmax, mb_h_local=mb_h_local,
         mb_w=mb_w, n_runs=n_runs, n_blk=n_blk,
-        halo_mb=halo_mb_rows(f_code), mb_h_total=mb_h_pad, mesh=mesh)
+        halo_mb=halo_mb_rows(f_code), mb_h_total=mb_h_pad, mesh=mesh,
+        mv_wide=mv_wide)
 
     # readout: this host's shards only (no cross-host gathers)
     rows = mb_h * 16

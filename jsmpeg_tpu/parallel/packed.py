@@ -27,8 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.mpeg1 import (_bucket, build_fused_buffer_sized,
-                            fused_pair_bucket, packed_to_levels,
-                            unpack_fused)
+                            fused_buffer_len, fused_pair_bucket,
+                            mv_fits_narrow, packed_to_levels, unpack_fused)
 from ..ops.frame import Planes
 from .gop import split_at_iframes
 from .mesh import _pvary, shard_map
@@ -165,13 +165,13 @@ def _concat_cell(frames: List[dict], n: int) -> dict:
 
 @functools.partial(jax.jit, static_argnames=(
     'n_frames', 'mb_h_local', 'mb_w', 'n_runs', 'n_blk', 'halo_mb',
-    'mb_h_total', 'mesh'))
+    'mb_h_total', 'mesh', 'mv_wide'))
 def decode_gops_tiled_packed(bufs: jnp.ndarray, init_cur: Planes,
                              init_fwd: Planes, intra_q: jnp.ndarray,
                              non_intra_q: jnp.ndarray, n_frames: int,
                              mb_h_local: int, mb_w: int, n_runs: int,
                              n_blk: int, halo_mb: int, mb_h_total: int,
-                             mesh: Mesh):
+                             mesh: Mesh, mv_wide: bool = False):
     """bufs: uint8 [G, T, L] fused cell buffers sharded over
     ('gop', 'tile'); init planes [G, rows, W] (rows sharded over 'tile')
     seed each GOP's scan carry (zeros except a mid-GOP continuation).
@@ -184,7 +184,7 @@ def decode_gops_tiled_packed(bufs: jnp.ndarray, init_cur: Planes,
 
         def one_gop(buf, cur0, fwd0):
             valid, flags, cbp, mv16, sp_pos, sp_val = unpack_fused(
-                buf[0], n_frames, n_mb_local, n_runs)
+                buf[0], n_frames, n_mb_local, n_runs, mv_wide)
             la = packed_to_levels(flags, cbp, mv16, sp_pos, sp_val, valid,
                                   n_blk)
             step = functools.partial(
@@ -280,13 +280,16 @@ class MeshPackedDecoder:
                                  for row in cells for c in row), default=1),
                             1), lo=256)
         empty = _concat_cell([], 0)
-        L = fmax + 8 * n_runs + 2 * n_pairs + 2 * (n_pairs // 8)
+        n_mb_local = self.mb_h_local * self.mb_w
+        mv_wide = not all(mv_fits_narrow(c['run_mv'])
+                          for row in cells for c in row)
+        L = fused_buffer_len(fmax, n_mb_local, n_pairs, n_runs, mv_wide)
         bufs = np.zeros((g, self.n_tile, L), np.uint8)
         for gi in range(g):
             for t in range(self.n_tile):
                 cell = cells[gi][t] if gi < len(cells) else empty
                 bufs[gi, t] = build_fused_buffer_sized(
-                    cell, fmax, n_pairs, n_runs)
+                    cell, fmax, n_pairs, n_runs, n_mb_local, mv_wide)
 
         dev_bufs = jax.device_put(bufs, self._buf_sharding)
         ic, ifw = _stack_init(init, g, self.ch_pad, self.cw)
@@ -303,7 +306,7 @@ class MeshPackedDecoder:
             dev_bufs, put(ic), put(ifw), iq, nq, n_frames=fmax,
             mb_h_local=self.mb_h_local, mb_w=self.mb_w, n_runs=n_runs,
             n_blk=n_blk, halo_mb=halo_mb, mb_h_total=self.mb_h_pad,
-            mesh=self.mesh)
+            mesh=self.mesh, mv_wide=mv_wide)
         gl = [len(x) for x in gops]
         last = len(gops) - 1
         ch = self.mb_h * 16

@@ -1,0 +1,104 @@
+"""Wire-v2 round-trip: host emission (build_fused_buffer) vs device
+unpack (unpack_fused), including the wide-MV record variant that no
+encoded fixture reaches (|mv| > 127 half-pel units needs f_code >= 4)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip('jax')
+
+from jsmpeg_tpu.models.mpeg1 import (build_fused_buffer,
+                                     build_fused_buffer_sized,
+                                     fused_buffer_len, mv_fits_narrow,
+                                     unpack_fused)
+
+
+def _mk_batch(rng, n, n_mb, wide):
+    """Synthetic packed batch: random per-MB (flags, cbp, mv) streams
+    RLE'd the way the parser emits them, plus a small pair stream."""
+    lo, hi = (-600, 600) if wide else (-128, 128)
+    fl = rng.integers(0, 256, n * n_mb).astype(np.uint8)
+    cb = rng.integers(0, 64, n * n_mb).astype(np.uint8)
+    mv = rng.integers(lo, hi, (n * n_mb, 2)).astype(np.int16)
+    # force some runs > 1 so the RLE is non-trivial
+    for k in range(0, n * n_mb - 3, 7):
+        fl[k + 1:k + 3] = fl[k]
+        cb[k + 1:k + 3] = cb[k]
+        mv[k + 1:k + 3] = mv[k]
+    change = np.ones(n * n_mb, bool)
+    change[1:] = ((fl[1:] != fl[:-1]) | (cb[1:] != cb[:-1])
+                  | (mv[1:] != mv[:-1]).any(axis=1))
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, n * n_mb))
+    # pair stream: 2 pairs, one escaping to the int16 side channel
+    sp_pos = np.array([0x80 | 3, 0x80 | 5], np.uint8)
+    sp_v8 = np.array([7, -128], np.int8)
+    sp_esc = np.array([1234], np.int16)
+    return dict(n=n,
+                run_len=lens.astype(np.uint16),
+                run_flags=fl[starts], run_cbp=cb[starts],
+                run_mv=mv[starts],
+                sp_pos=sp_pos, sp_v8=sp_v8, sp_esc=sp_esc,
+                n_blocks=2), fl, cb, mv
+
+
+@pytest.mark.parametrize('wide', [False, True])
+def test_roundtrip(wide):
+    rng = np.random.default_rng(5 + wide)
+    n, n_mb, F = 3, 25, 4
+    batch, fl, cb, mv = _mk_batch(rng, n, n_mb, wide)
+    assert mv_fits_narrow(batch['run_mv']) == (not wide)
+    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, n_mb)
+    assert mv_wide == wide
+    assert len(buf) == fused_buffer_len(F, n_mb, (len(buf) > 0) and
+                                        _pairs_of(buf, F, n_mb, n_runs,
+                                                  mv_wide), n_runs, mv_wide)
+    valid, gfl, gcb, gmv, sp_pos, sp_val = jax.jit(
+        unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
+                                       'mv_wide'))(
+        buf, F, n_mb, n_runs, mv_wide)
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  np.arange(F) < n)
+    np.testing.assert_array_equal(
+        np.asarray(gfl).reshape(-1)[:n * n_mb], fl)
+    np.testing.assert_array_equal(
+        np.asarray(gcb).reshape(-1)[:n * n_mb], cb)
+    np.testing.assert_array_equal(
+        np.asarray(gmv).reshape(-1, 2)[:n * n_mb], mv)
+    # escape side-stream resolved
+    sp_val = np.asarray(sp_val)
+    assert sp_val[0] == 7 and sp_val[1] == 1234
+
+
+def _pairs_of(buf, F, n_mb, n_runs, mv_wide):
+    from jsmpeg_tpu.models.mpeg1 import _bitmap_bytes
+    w = 8 if mv_wide else 4
+    return (len(buf) - F - _bitmap_bytes(F, n_mb) - w * n_runs) * 4 // 9
+
+
+def test_wide_mesh_cells_share_variant():
+    """Mesh cells agree on one (n_pairs, n_runs, mv_wide) triple: a
+    narrow cell encoded with mv_wide=True still round-trips."""
+    rng = np.random.default_rng(9)
+    n, n_mb, F = 2, 10, 2
+    batch, fl, cb, mv = _mk_batch(rng, n, n_mb, wide=False)
+    n_runs = 64
+    buf = build_fused_buffer_sized(batch, F, 4096, n_runs, n_mb,
+                                   mv_wide=True)
+    _, gfl, gcb, gmv, _, _ = jax.jit(
+        unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
+                                       'mv_wide'))(
+        buf, F, n_mb, n_runs, True)
+    np.testing.assert_array_equal(
+        np.asarray(gfl).reshape(-1)[:n * n_mb], fl)
+    np.testing.assert_array_equal(
+        np.asarray(gmv).reshape(-1, 2)[:n * n_mb], mv)
+
+
+def test_wire_v2_smaller():
+    """The bitmap + 4 B records beat the old 8 B/run + u16 lengths."""
+    rng = np.random.default_rng(3)
+    batch, *_ = _mk_batch(rng, 3, 100, wide=False)
+    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, 4, 100)
+    old = 4 + 8 * n_runs + 2 * 4096 + 2 * (4096 // 8)
+    assert len(buf) < old

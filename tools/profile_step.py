@@ -113,12 +113,13 @@ def main():
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(F, eof=True)
     seq = dec.parser.seq
-    buf, n_blk, n_runs = build_fused_buffer(batch, F)
+    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, seq.mb_size)
     n_mb = seq.mb_size
     dev = jax.device_put(buf)
     valid, flags, cbp, mv16, sp_pos, sp_val = jax.jit(
-        unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs'))(
-            dev, F, n_mb, n_runs)
+        unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
+                                 'mv_wide'))(
+            dev, F, n_mb, n_runs, mv_wide)
     stacked = jax.jit(packed_to_levels, static_argnames=('n_blk',))(
         flags, cbp, mv16, sp_pos, sp_val, valid, n_blk)
     stacked = jax.device_put(jax.tree.map(np.asarray, stacked))
