@@ -340,6 +340,21 @@ def device_rows(emit):
     np.asarray(fetch(r[2].y[-1, :1, :4]))
     fetch_s = time.monotonic() - t0
     emit('device_pipeline_fps', round(32 * 10 / fetch_s, 2))
+    # A/B: the wire_ids fast-link variant (+2 B/coded block of upload,
+    # device skips the coded-mask ordinal computation).  Wire resident,
+    # so this row shows the pure device-side effect.
+    bufi, nbi, nri, mvwi = build_fused_buffer(batch, 32, seq.mb_size,
+                                              wire_ids=True)
+    devi = jax.device_put(bufi)
+    kwi = dict(kw, n_blk=nbi, n_runs=nri, mv_wide=mvwi, wire_ids=True)
+    r = decode_scan_fused(cur, fwd, devi, iq, nq, **kwi)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
+    t0 = time.monotonic()
+    for _ in range(10):
+        r = decode_scan_fused(cur, fwd, devi, iq, nq, **kwi)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))
+    emit('device_pipeline_ids_fps',
+         round(32 * 10 / (time.monotonic() - t0), 2))
     # single-batch round-trip latency (dispatch + scan + 4-byte fetch)
     t0 = time.monotonic()
     for _ in range(3):

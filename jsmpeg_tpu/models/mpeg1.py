@@ -119,7 +119,7 @@ def _bitmap_bytes(n_frames: int, n_mb: int) -> int:
 
 
 def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
-                 mv_wide: bool = False):
+                 mv_wide: bool = False, ids_blk: int = 0):
     """Decode the single-upload wire buffer into per-MB streams.
 
     Layout (wire v2, round 3): [valid F][run-start bitmap B=(F*n_mb+7)//8]
@@ -136,13 +136,22 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
     Coefficient values ride as int8 with -128 escaping to the int16 side
     stream (~2 B/coefficient on the wire).
 
+    With `ids_blk` > 0 (the `wire_ids` fast-link option) the wire also
+    carries [fpb u16 F][blk_rel u16 ids_blk] between the records and the
+    pair streams: per-frame coded-block counts and each coded block's
+    within-frame id (mb*6 + blk, emission order; 0xFFFF pads).  The
+    device then skips the coded-mask ordinal computation entirely (see
+    packed_to_levels) at +2 B/coded block of upload -- only worth it
+    where H2D is cheap.
+
     Returns (valid[F], flags[F,n_mb], cbp[F,n_mb], mv16[F,n_mb,2],
-    sp_pos[P], sp_val[P])."""
+    sp_pos[P], sp_val[P], blk_dense[ids_blk] int32 or None)."""
     F = n_frames
     R = n_runs
     B = _bitmap_bytes(F, n_mb)
     w = 8 if mv_wide else 4
-    P = (buf.shape[0] - F - B - w * R) * 4 // 9
+    ids_bytes = 2 * F + 2 * ids_blk if ids_blk else 0
+    P = (buf.shape[0] - F - B - w * R - ids_bytes) * 4 // 9
     E = P // 8
     o = F
     valid = buf[:F] != 0
@@ -150,6 +159,25 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
     o += B
     rec = buf[o:o + w * R]
     o += w * R
+    blk_dense = None
+    if ids_blk:
+        fpb = jax.lax.bitcast_convert_type(
+            buf[o:o + 2 * F].reshape(F, 2), jnp.uint16).astype(jnp.int32)
+        o += 2 * F
+        blk16 = jax.lax.bitcast_convert_type(
+            buf[o:o + 2 * ids_blk].reshape(ids_blk, 2), jnp.uint16)
+        o += 2 * ids_blk
+        # frame of each coded block: scatter-add a 1 at every frame's
+        # first block ordinal (empty frames stack their start on the
+        # next frame's; per-slot counts stay <= F, bf16-exact), one MXU
+        # cumsum, minus one
+        starts = jnp.cumsum(fpb) - fpb
+        ones = jnp.zeros((ids_blk,), jnp.float32).at[starts].add(
+            1.0, mode='drop')
+        framei = indicator_cumsum(ones, vmax=256) - 1
+        blk_dense = jnp.where(blk16 == jnp.uint16(0xFFFF),
+                              F * n_mb * 6,
+                              framei * (n_mb * 6) + blk16.astype(jnp.int32))
     sp_pos = buf[o:o + P]
     o += P
     sp_v8 = jax.lax.bitcast_convert_type(buf[o:o + P], jnp.int8)
@@ -188,25 +216,27 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
         flags = bu[:, 0].reshape(F, n_mb)
         cbp = bu[:, 1].reshape(F, n_mb)
         mv16 = bi[:, 2:4].astype(jnp.int16).reshape(F, n_mb, 2)
-    return valid, flags, cbp, mv16, sp_pos, sp_val
+    return valid, flags, cbp, mv16, sp_pos, sp_val, blk_dense
 
 
 @functools.partial(jax.jit,
                    static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
-                                    'n_runs', 'band_halo', 'mv_wide'))
+                                    'n_runs', 'band_halo', 'mv_wide',
+                                    'wire_ids'))
 def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                       mb_h: int, mb_w: int, n_frames: int, n_blk: int,
                       n_runs: int, band_halo: int = None,
-                      mv_wide: bool = False):
+                      mv_wide: bool = False, wire_ids: bool = False):
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links);
     see unpack_fused for the wire layout."""
-    valid, flags, cbp, mv16, sp_pos, sp_val = unpack_fused(
-        buf, n_frames, mb_h * mb_w, n_runs, mv_wide)
+    valid, flags, cbp, mv16, sp_pos, sp_val, blk_dense = unpack_fused(
+        buf, n_frames, mb_h * mb_w, n_runs, mv_wide,
+        n_blk if wire_ids else 0)
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk,
-                        band_halo)
+                        band_halo, blk_dense)
 
 
 # coefficient-scatter segment size: XLA compile time for one big scatter
@@ -237,7 +267,8 @@ def _scatter_pairs(flat: jnp.ndarray, idx: jnp.ndarray,
 def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
                      mv16: jnp.ndarray, sp_pos: jnp.ndarray,
                      sp_val: jnp.ndarray, valid: jnp.ndarray,
-                     n_blk: int) -> LevelsArrays:
+                     n_blk: int, blk_dense: jnp.ndarray = None
+                     ) -> LevelsArrays:
     """Packed-wire -> dense LevelsArrays (3 B/coefficient + 8 B/MB on the
     wire): per-MB metadata rides packed into bytes and coefficients as
     (pos, value) pairs whose block association is carried by flag bits
@@ -251,12 +282,16 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
     written = (flags & 0x40) != 0
     coded = (cbp[..., None] & (1 << jnp.arange(6, dtype=jnp.uint8))) != 0
     oob = F * n_mb * 6
-    # coded-block ids in row-major order, fixed-size formulation (the
-    # scatter is sized by the mask, not by n_blk: one compile shape)
-    mask = coded.reshape(-1)
-    dst = jnp.where(mask, indicator_cumsum(mask) - 1, n_blk + 1)
-    blk_ids = jnp.full((n_blk + 1,), oob, jnp.int32).at[dst].set(
-        jnp.arange(mask.shape[0], dtype=jnp.int32), mode='drop')
+    if blk_dense is None:
+        # coded-block ids in row-major order, fixed-size formulation
+        # (the scatter is sized by the mask, not by n_blk: one compile
+        # shape).  With wire_ids the host ships these ids instead
+        # (blk_dense from unpack_fused) and this block never runs.
+        mask = coded.reshape(-1)
+        dst = jnp.where(mask, indicator_cumsum(mask) - 1, n_blk + 1)
+        blk_dense = jnp.full((n_blk + 1,), oob, jnp.int32).at[dst].set(
+            jnp.arange(mask.shape[0], dtype=jnp.int32),
+            mode='drop')[:n_blk]
     slot = indicator_cumsum(sp_pos >> 7) - 1
     # pairs scatter into the COMPACT per-coded-block lattice by ordinal
     # (no per-pair flat-id lookup), then one row-wise scatter expands
@@ -269,7 +304,7 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
                      n_blk * 64)
     compact = jnp.zeros((n_blk * 64,), jnp.int16)
     compact = _scatter_pairs(compact, cidx, sp_val).reshape(n_blk, 64)
-    flat = jnp.zeros((F * n_mb * 6, 64), jnp.int16).at[blk_ids[:n_blk]].set(
+    flat = jnp.zeros((F * n_mb * 6, 64), jnp.int16).at[blk_dense].set(
         compact, mode='drop')
     return LevelsArrays(
         levels=flat.reshape(F, n_mb, 6, 64), qscale=qscale, coded=coded,
@@ -284,10 +319,11 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        sp_pos: jnp.ndarray, sp_val: jnp.ndarray,
                        intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                        valid: jnp.ndarray, mb_h: int, mb_w: int, n_blk: int,
-                       band_halo: int = None):
+                       band_halo: int = None,
+                       blk_dense: jnp.ndarray = None):
     """Packed-wire pipeline: see packed_to_levels for the wire format."""
     stacked = packed_to_levels(flags, cbp, mv16, sp_pos, sp_val, valid,
-                               n_blk)
+                               n_blk, blk_dense)
 
     step = functools.partial(levels_scan_step, intra_q=intra_q,
                              non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
@@ -297,11 +333,12 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
 
 
 def _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val, intra_q,
-                 non_intra_q, valid, mb_h, mb_w, n_blk, band_halo=None):
+                 non_intra_q, valid, mb_h, mb_w, n_blk, band_halo=None,
+                 blk_dense=None):
     return decode_scan_packed.__wrapped__(cur, fwd, flags, cbp, mv16,
                                           sp_pos, sp_val, intra_q,
                                           non_intra_q, valid, mb_h, mb_w,
-                                          n_blk, band_halo)
+                                          n_blk, band_halo, blk_dense)
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
@@ -384,14 +421,16 @@ def mv_fits_narrow(mv: np.ndarray) -> bool:
 
 
 def fused_buffer_len(n_frames: int, n_mb: int, n_pairs: int, n_runs: int,
-                     mv_wide: bool) -> int:
+                     mv_wide: bool, ids_blk: int = 0) -> int:
     """Total wire-v2 buffer length for the given static sizes."""
     return (n_frames + _bitmap_bytes(n_frames, n_mb)
             + (8 if mv_wide else 4) * n_runs
+            + (2 * n_frames + 2 * ids_blk if ids_blk else 0)
             + 2 * n_pairs + 2 * (n_pairs // 8))
 
 
-def build_fused_buffer(batch: dict, n_frames: int, n_mb: int):
+def build_fused_buffer(batch: dict, n_frames: int, n_mb: int,
+                       wire_ids: bool = False):
     """Assemble the single-upload wire buffer for decode_scan_fused from a
     packed parse_batch dict.  Returns (buf uint8, n_blk, n_runs, mv_wide)
     with bucketed static sizes (see unpack_fused for the layout)."""
@@ -400,13 +439,14 @@ def build_fused_buffer(batch: dict, n_frames: int, n_mb: int):
     n_runs = _bucket(max(len(batch['run_len']), 1), lo=256)
     mv_wide = not mv_fits_narrow(batch['run_mv'])
     buf = build_fused_buffer_sized(batch, n_frames, bucket, n_runs, n_mb,
-                                   mv_wide)
+                                   mv_wide, n_blk if wire_ids else 0)
     return buf, n_blk, n_runs, mv_wide
 
 
 def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
                              n_runs: int, n_mb: int,
-                             mv_wide: bool = False) -> np.ndarray:
+                             mv_wide: bool = False,
+                             ids_blk: int = 0) -> np.ndarray:
     """build_fused_buffer with caller-fixed bucket sizes (mesh cells share
     one shape so the sharded decode compiles once)."""
     F = n_frames
@@ -418,8 +458,8 @@ def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
     assert total <= bucket and n_esc <= bucket // 8 and rt <= n_runs
     B = _bitmap_bytes(F, n_mb)
     w = 8 if mv_wide else 4
-    buf = np.zeros(F + B + w * n_runs + 2 * bucket + 2 * (bucket // 8),
-                   dtype=np.uint8)
+    buf = np.zeros(fused_buffer_len(F, n_mb, bucket, n_runs, mv_wide,
+                                    ids_blk), dtype=np.uint8)
     buf[:F] = np.arange(F) < n
     o = F
     # run-start bitmap: bit (i & 7) of byte (i >> 3) marks MB i opening a
@@ -448,6 +488,24 @@ def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
         rec[:rt, 2:4] = mv.astype(np.int8).reshape(rt, 2).view(np.uint8)
     buf[o:o + w * n_runs] = rec.reshape(-1)
     o += w * n_runs
+    if ids_blk:
+        # per-frame coded-block counts + per-coded-block within-frame
+        # ids, emission order (the wire_ids fast-link option)
+        cb_mb = np.repeat(batch['run_cbp'], lens)
+        fpb = np.zeros(F, '<u2')
+        if n:
+            fpb[:n] = _POPCOUNT8[cb_mb].reshape(n, n_mb).sum(axis=1)
+        buf[o:o + 2 * F] = fpb.view(np.uint8)
+        o += 2 * F
+        coded6 = (cb_mb[:, None] >> np.arange(6, dtype=np.uint8)) & 1
+        rel = ((np.arange(n * n_mb, dtype=np.int64) % n_mb)[:, None] * 6
+               + np.arange(6))
+        blk_rel = rel[coded6.astype(bool)]
+        assert len(blk_rel) <= ids_blk
+        ids = np.full(ids_blk, 0xFFFF, '<u2')
+        ids[:len(blk_rel)] = blk_rel
+        buf[o:o + 2 * ids_blk] = ids.view(np.uint8)
+        o += 2 * ids_blk
     # padding pairs: bit 6 set (never scattered), bit 7 clear (do not
     # advance the block slot); padding values 0 (not the escape sentinel)
     buf[o:o + bucket] = 0x40
@@ -558,6 +616,10 @@ class MPEG1Decoder:
         # timestamp collection for static-file A/V sync + seek
         # (semantics of the reference Decoder.Base, src/decoder.js:36-102)
         self.streaming = bool(options.get('streaming'))
+        # fast-link wire option: ship coded-block ids (+2 B/block) so the
+        # device skips the ordinal computation; off by default (the
+        # tunneled H2D here is upload-bound)
+        self.wire_ids = bool(options.get('wire_ids'))
         self.buffer_size = options.get('videoBufferSize', 512 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0
@@ -796,11 +858,12 @@ class MPEG1Decoder:
         buffer."""
         seq = self.parser.seq
         F = n_frames or self.BATCH_FRAMES
-        buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F,
-                                                         seq.mb_size)
+        buf, n_blk, n_runs, mv_wide = build_fused_buffer(
+            batch, F, seq.mb_size, wire_ids=self.wire_ids)
         return dict(fut=self._h2d_pool().submit(jax.device_put, buf),
                     F=F, n_blk=n_blk, n_runs=n_runs, mv_wide=mv_wide,
-                    band_halo=self._band_halo(batch))
+                    band_halo=self._band_halo(batch),
+                    wire_ids=self.wire_ids)
 
     def _dispatch_packed(self, batch, n_frames=None, staged=None):
         """Upload one packed batch as a single fused byte buffer and
@@ -816,7 +879,8 @@ class MPEG1Decoder:
             self._cur, self._fwd, dev, iq, nq,
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=staged['F'],
             n_blk=staged['n_blk'], n_runs=staged['n_runs'],
-            band_halo=staged['band_halo'], mv_wide=staged['mv_wide'])
+            band_halo=staged['band_halo'], mv_wide=staged['mv_wide'],
+            wire_ids=staged['wire_ids'])
         return outs
 
     def _dispatch_batch(self, batch, n_frames=None, staged=None):
@@ -871,12 +935,22 @@ class MPEG1Decoder:
         batch to the destination and drops its device arrays."""
         def stage_groups(b):
             """Split a parsed batch into scatter-bounded frame groups and
-            start each group's wire upload on the feeder thread."""
+            start each group's wire upload on the feeder thread.  Split
+            groups scan a frame axis bucketed to their OWN length (a
+            coefficient-dense batch splits into ~8 groups of a few
+            frames each; scanning BATCH_FRAMES slots per group did ~8x
+            the step work -- the dense-stress floor of round 2).  The
+            bucket set {2,3,4,6,...} keeps the extra jit variants
+            bounded and disk-cached."""
             if not isinstance(b, dict):
                 return []
             groups = split_packed_batch(b) if 'sp_pos' in b else [b]
-            return [(g, self._stage_packed(g) if 'sp_pos' in g else None)
-                    for g in groups]
+            fg = (None if len(groups) == 1
+                  else [_bucket(g['n'], lo=2) for g in groups])
+            return [(g, self._stage_packed(
+                        g, n_frames=fg[i] if fg else None)
+                     if 'sp_pos' in g else None)
+                    for i, g in enumerate(groups)]
 
         batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
         staged = stage_groups(batch)

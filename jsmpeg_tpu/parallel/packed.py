@@ -183,7 +183,7 @@ def decode_gops_tiled_packed(bufs: jnp.ndarray, init_cur: Planes,
         nq = _pvary(nq, ('gop', 'tile'))
 
         def one_gop(buf, cur0, fwd0):
-            valid, flags, cbp, mv16, sp_pos, sp_val = unpack_fused(
+            valid, flags, cbp, mv16, sp_pos, sp_val, _ = unpack_fused(
                 buf[0], n_frames, n_mb_local, n_runs, mv_wide)
             la = packed_to_levels(flags, cbp, mv16, sp_pos, sp_val, valid,
                                   n_blk)

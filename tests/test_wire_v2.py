@@ -53,7 +53,7 @@ def test_roundtrip(wide):
     assert len(buf) == fused_buffer_len(F, n_mb, (len(buf) > 0) and
                                         _pairs_of(buf, F, n_mb, n_runs,
                                                   mv_wide), n_runs, mv_wide)
-    valid, gfl, gcb, gmv, sp_pos, sp_val = jax.jit(
+    valid, gfl, gcb, gmv, sp_pos, sp_val, _ = jax.jit(
         unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
                                        'mv_wide'))(
         buf, F, n_mb, n_runs, mv_wide)
@@ -85,7 +85,7 @@ def test_wide_mesh_cells_share_variant():
     n_runs = 64
     buf = build_fused_buffer_sized(batch, F, 4096, n_runs, n_mb,
                                    mv_wide=True)
-    _, gfl, gcb, gmv, _, _ = jax.jit(
+    _, gfl, gcb, gmv, _, _, _ = jax.jit(
         unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
                                        'mv_wide'))(
         buf, F, n_mb, n_runs, True)
@@ -102,3 +102,71 @@ def test_wire_v2_smaller():
     buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, 4, 100)
     old = 4 + 8 * n_runs + 2 * 4096 + 2 * (4096 // 8)
     assert len(buf) < old
+
+
+def test_wire_ids_blk_dense():
+    """wire_ids round trip: the device-computed dense block ids from the
+    shipped [fpb][blk_rel] streams must equal the ordinal-derived ids,
+    including an EMPTY frame in the middle (the boundary-encoding trap:
+    empty frames stack their start on the next frame's first block)."""
+    rng = np.random.default_rng(21)
+    n, n_mb, F = 4, 25, 4
+    batch, fl, cb, mv = _mk_batch(rng, n, n_mb, wide=False)
+    # force frame 1 to be fully uncoded (cbp=0 across its MBs)
+    lens = batch['run_len'].astype(np.int64)
+    starts = np.cumsum(lens) - lens
+    mb_of_run = starts // 1  # run start MB index
+    f1 = (mb_of_run >= n_mb) & (mb_of_run < 2 * n_mb)
+    batch['run_cbp'] = batch['run_cbp'].copy()
+    batch['run_cbp'][f1] = 0
+    # runs do not straddle frame boundaries in parser output; our RLE
+    # may straddle, so re-split runs at frame edges to keep the
+    # invariant before zeroing (simplest: rebuild from per-MB streams)
+    cb_mb = np.repeat(batch['run_cbp'], lens)
+    fl_mb = np.repeat(batch['run_flags'], lens)
+    mv_mb = np.repeat(batch['run_mv'], lens, axis=0)
+    cb_mb[n_mb:2 * n_mb] = 0
+    change = np.ones(n * n_mb, bool)
+    change[1:] = ((fl_mb[1:] != fl_mb[:-1]) | (cb_mb[1:] != cb_mb[:-1])
+                  | (mv_mb[1:] != mv_mb[:-1]).any(axis=1))
+    st = np.flatnonzero(change)
+    batch['run_len'] = np.diff(np.append(st, n * n_mb)).astype(np.uint16)
+    batch['run_flags'] = fl_mb[st]
+    batch['run_cbp'] = cb_mb[st]
+    batch['run_mv'] = mv_mb[st]
+    n_coded = int(np.unpackbits(cb_mb & 0x3F).sum())
+    batch['n_blocks'] = n_coded
+    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, n_mb,
+                                                     wire_ids=True)
+    out = jax.jit(unpack_fused,
+                  static_argnames=('n_frames', 'n_mb', 'n_runs',
+                                   'mv_wide', 'ids_blk'))(
+        buf, F, n_mb, n_runs, mv_wide, n_blk)
+    blk_dense = np.asarray(out[6])
+    # expected: ordinal ids over the coded mask, row-major
+    coded = ((cb_mb[:, None] >> np.arange(6)) & 1).astype(bool)
+    exp = np.flatnonzero(np.concatenate(
+        [coded.reshape(-1), np.zeros((F - n) * n_mb * 6, bool)]))
+    assert len(exp) == n_coded
+    np.testing.assert_array_equal(blk_dense[:n_coded], exp)
+    assert (blk_dense[n_coded:] >= F * n_mb * 6).all()
+
+
+def test_wire_ids_decode_bit_exact():
+    """Full decode with {'wire_ids': True} matches the default wire."""
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.testing.gen import encode_realistic_stream
+    es, _ = encode_realistic_stream(96, 128, n_frames=8, seed=17, gop=4)
+
+    def planes(opts):
+        d = MPEG1Decoder(opts)
+        d.write(0.0, es)
+        return [(np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
+                for p in d.decode_available(eof=True)]
+
+    ref = planes({})
+    got = planes({'wire_ids': True})
+    assert len(ref) == len(got) == 8
+    for i, (a, b) in enumerate(zip(ref, got)):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y, err_msg=f'frame {i}')

@@ -76,7 +76,7 @@ def main():
                       lambda r: f_first(r[4]))
         print(f'unpack_fused          {t*1e3:8.2f} ms/batch', flush=True)
 
-    valid, flags, cbp, mv16, sp_pos, sp_val = jax.jit(
+    valid, flags, cbp, mv16, sp_pos, sp_val, _ = jax.jit(
         unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
                                  'mv_wide'))(
             dev, F, n_mb, n_runs, mv_wide)

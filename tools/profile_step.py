@@ -116,7 +116,7 @@ def main():
     buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, seq.mb_size)
     n_mb = seq.mb_size
     dev = jax.device_put(buf)
-    valid, flags, cbp, mv16, sp_pos, sp_val = jax.jit(
+    valid, flags, cbp, mv16, sp_pos, sp_val, _ = jax.jit(
         unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
                                  'mv_wide'))(
             dev, F, n_mb, n_runs, mv_wide)

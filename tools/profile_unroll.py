@@ -53,7 +53,7 @@ def main():
                                                   'n_runs', 'mv_wide'))(
         dev, F, seq.mb_size, n_runs, mv_wide)
     stacked = jax.jit(packed_to_levels, static_argnames=('n_blk',))(
-        *vals[1:], vals[0], n_blk)
+        *vals[1:6], vals[0], n_blk)
     stacked = jax.device_put(jax.tree.map(np.asarray, stacked))
     iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
     nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
