@@ -48,6 +48,10 @@ class PlayerConfig:
     audio_mode: str = 'exact'               # 'exact' | 'tpu'
     batch_gop: bool = True                  # batch frames through lax.scan
     mesh: Any = None                        # parallel decode mesh (optional)
+    # ship coded-block ids on the wire (+2 B/block) so the device skips
+    # the ordinal computation; for hosts with cheap H2D (PCIe DMA), not
+    # for upload-bound links
+    wire_ids: bool = False
 
     @classmethod
     def from_options(cls, options: Optional[dict]) -> 'PlayerConfig':
@@ -73,6 +77,7 @@ class PlayerConfig:
             'onSourceCompleted': 'on_source_completed',
             'audioMode': 'audio_mode',
             'batchGOP': 'batch_gop',
+            'wireIds': 'wire_ids',
         }
         kw = {}
         for k, v in options.items():

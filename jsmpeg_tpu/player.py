@@ -130,6 +130,7 @@ class Player:
                 'videoBufferSize': cfg.video_buffer_size,
                 'audioBufferSize': cfg.audio_buffer_size,
                 'decodeFirstFrame': cfg.decode_first_frame,
+                'wire_ids': cfg.wire_ids,
                 'onVideoDecode': _vcb,
                 'onAudioDecode': _acb}
         self.video: Optional[MPEG1Decoder] = None
