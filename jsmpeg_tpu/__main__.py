@@ -48,6 +48,9 @@ def main(argv=None) -> int:
     ap.add_argument('--no-audio', action='store_true')
     ap.add_argument('--no-video', action='store_true')
     ap.add_argument('--audio-mode', choices=['exact', 'tpu'], default='exact')
+    ap.add_argument('--wire-ids', action='store_true',
+                    help='ship coded-block ids on the device wire '
+                         '(+2 B/block; for hosts with cheap H2D)')
     ap.add_argument('--loop', action='store_true')
     ap.add_argument('--selftest', action='store_true',
                     help='decode a synthetic stream and verify bit-exactness')
@@ -77,6 +80,7 @@ def main(argv=None) -> int:
         'mesh': args.mesh,
         'streaming': args.streaming,
         'poster': args.poster,
+        'wire_ids': args.wire_ids,
     }
     t0 = time.monotonic()
     p = Player(args.source, options, renderer=renderer, audio_out=audio_out)
