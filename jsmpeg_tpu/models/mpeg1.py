@@ -840,6 +840,15 @@ class MPEG1Decoder:
         # row band with full-width columns; bv == 0 disables banding
         return (bv, bh) if bv else None
 
+    class _ResolvedFuture:
+        """Future-shaped wrapper for an already-transferred buffer."""
+
+        def __init__(self, v):
+            self._v = v
+
+        def result(self):
+            return self._v
+
     def _h2d_pool(self):
         """Single-worker feeder thread for wire uploads: device_put of
         batch k+1 runs while scan k executes and its outputs are fetched
@@ -855,12 +864,19 @@ class MPEG1Decoder:
         """Assemble one packed batch's fused wire buffer and start its
         H2D transfer on the feeder thread.  Returns the staging dict
         _dispatch_packed consumes; the future resolves to the device
-        buffer."""
+        buffer.  JSMPEG_TPU_SYNC_H2D=1 keeps the upload on the calling
+        thread (escape hatch for transports whose device_put is not
+        thread-safe)."""
+        import os
         seq = self.parser.seq
         F = n_frames or self.BATCH_FRAMES
         buf, n_blk, n_runs, mv_wide = build_fused_buffer(
             batch, F, seq.mb_size, wire_ids=self.wire_ids)
-        return dict(fut=self._h2d_pool().submit(jax.device_put, buf),
+        if os.environ.get('JSMPEG_TPU_SYNC_H2D'):
+            fut = self._ResolvedFuture(jax.device_put(buf))
+        else:
+            fut = self._h2d_pool().submit(jax.device_put, buf)
+        return dict(fut=fut,
                     F=F, n_blk=n_blk, n_runs=n_runs, mv_wide=mv_wide,
                     band_halo=self._band_halo(batch),
                     wire_ids=self.wire_ids)
