@@ -867,7 +867,6 @@ class MPEG1Decoder:
         buffer.  JSMPEG_TPU_SYNC_H2D=1 keeps the upload on the calling
         thread (escape hatch for transports whose device_put is not
         thread-safe)."""
-        import os
         seq = self.parser.seq
         F = n_frames or self.BATCH_FRAMES
         buf, n_blk, n_runs, mv_wide = build_fused_buffer(
