@@ -967,28 +967,7 @@ class MPEG1Decoder:
                      if 'sp_pos' in g else None)
                     for i, g in enumerate(groups)]
 
-        batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
-        staged = stage_groups(batch)
-        while True:
-            if batch == 'fallback':
-                return True
-            if batch is None:
-                return False
-            # three-way overlap per iteration: the device scans batch k
-            # (dispatch is async), the C++ parser (GIL released) produces
-            # batch k+1, and the feeder thread uploads k+1's wire while
-            # k's outputs are still being fetched below.  Coefficient-
-            # dense batches split into frame groups so every jit variant
-            # keeps a one-segment scatter.
-            n = batch['n']
-            dispatched = [(self._dispatch_batch(g, n_frames=None, staged=s),
-                           g['n']) for g, s in staged]
-            batch = (self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
-                     if n == self.BATCH_FRAMES else None)
-            staged = stage_groups(batch)
-            self.frames_decoded += n
-            for _ in range(n):
-                self.advance_decoded_time(1.0 / self.frame_rate)
+        def consume(dispatched):
             for outs, gn in dispatched:
                 pb = PlanesBatch(Planes(outs.y, outs.cr, outs.cb), gn)
                 if release:
@@ -998,6 +977,35 @@ class MPEG1Decoder:
                     outs_all.count_only(gn)
                 else:
                     outs_all.append_batch(pb)
+
+        batch = self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
+        staged = stage_groups(batch)
+        pending = []              # dispatched batch awaiting render
+        while True:
+            if batch == 'fallback':
+                consume(pending)
+                return True
+            if batch is None:
+                consume(pending)
+                return False
+            # four-way overlap per iteration: the device scans batch k
+            # (dispatch is async), the C++ parser (GIL released) produces
+            # batch k+1, the feeder thread uploads k+1's wire, and the
+            # main thread fetches batch k-1's outputs -- render runs one
+            # batch behind dispatch so readback RPCs never leave the
+            # device idle.  Coefficient-dense batches split into frame
+            # groups so every jit variant keeps a one-segment scatter.
+            n = batch['n']
+            dispatched = [(self._dispatch_batch(g, n_frames=None, staged=s),
+                           g['n']) for g, s in staged]
+            batch = (self.parser.parse_batch(self.BATCH_FRAMES, eof=eof)
+                     if n == self.BATCH_FRAMES else None)
+            staged = stage_groups(batch)
+            self.frames_decoded += n
+            for _ in range(n):
+                self.advance_decoded_time(1.0 / self.frame_rate)
+            consume(pending)
+            pending = dispatched
 
     def _mesh_decoder(self, mesh):
         from ..parallel.packed import MeshPackedDecoder
