@@ -536,6 +536,14 @@ class PlanesBatch:
         o = self._outs
         return Planes(o.y[i], o.cr[i], o.cb[i])
 
+    def fetch_all(self) -> Planes:
+        """All frames as ONE host readback per plane (numpy [n, H, W]):
+        3 RPC round trips for the whole batch instead of 3 per frame."""
+        from ..utils import fetch
+        o = self._outs
+        return Planes(fetch(o.y[:self._n]), fetch(o.cr[:self._n]),
+                      fetch(o.cb[:self._n]))
+
 
 class FrameSeq:
     """List-like concatenation of PlanesBatch chunks + eager Planes.
@@ -971,9 +979,12 @@ class MPEG1Decoder:
             for outs, gn in dispatched:
                 pb = PlanesBatch(Planes(outs.y, outs.cr, outs.cb), gn)
                 if release:
+                    # ONE bulk readback per plane per group (the sinks'
+                    # per-frame fetch would cost 3 RPC round trips per
+                    # frame over the tunneled transport)
+                    ys, crs, cbs = pb.fetch_all()
                     for i in range(gn):
-                        p = pb.frame(i)
-                        self.destination.render(p.y, p.cr, p.cb)
+                        self.destination.render(ys[i], crs[i], cbs[i])
                     outs_all.count_only(gn)
                 else:
                     outs_all.append_batch(pb)
@@ -1029,9 +1040,9 @@ class MPEG1Decoder:
 
         def emit(pb: PlanesBatch):
             if release:
+                ys, crs, cbs = pb.fetch_all()   # one readback per plane
                 for i in range(len(pb)):
-                    p = pb.frame(i)
-                    self.destination.render(p.y, p.cr, p.cb)
+                    self.destination.render(ys[i], crs[i], cbs[i])
                 outs_all.count_only(len(pb))
             else:
                 outs_all.append_batch(pb)
