@@ -763,6 +763,10 @@ class MPEG1Decoder:
         if self.streaming:
             self.parser.bits.evict_consumed()
         if self.destination is not None:
+            # one packed readback instead of the sink's three per-plane
+            # fetches (per-RPC latency dominates single-frame readbacks)
+            from ..utils import fetch_planes_packed
+            out = fetch_planes_packed(out)
             self.destination.render(out.y, out.cr, out.cb)
         if self.on_decode is not None:
             self.on_decode(self, _time.monotonic() - t0)
@@ -801,14 +805,14 @@ class MPEG1Decoder:
                 # serial coefficient path
                 for p in self._decode_available_serial(eof, pad_to) or []:
                     if release:
-                        self.destination.render(p.y, p.cr, p.cb)
+                        self._render_packed(p)
                         outs.count_only(1)
                     else:
                         outs.append(p)
         else:
             for p in self._decode_available_serial(eof, pad_to) or []:
                 if release:
-                    self.destination.render(p.y, p.cr, p.cb)
+                    self._render_packed(p)
                     outs.count_only(1)
                 else:
                     outs.append(p)
@@ -816,8 +820,14 @@ class MPEG1Decoder:
             return None
         if self.destination is not None and not release:
             for p in outs:
-                self.destination.render(p.y, p.cr, p.cb)
+                self._render_packed(p)
         return outs
+
+    def _render_packed(self, p) -> None:
+        """Render one frame, fetching all three planes in one RPC."""
+        from ..utils import fetch_planes_packed
+        p = fetch_planes_packed(p)
+        self.destination.render(p.y, p.cr, p.cb)
 
     def _quant_matrices(self):
         """Quant matrices as device-resident constants (cached)."""
@@ -1114,7 +1124,7 @@ class MPEG1Decoder:
         if needs_serial:
             for p in self._decode_available_serial(eof) or []:
                 if release:
-                    self.destination.render(p.y, p.cr, p.cb)
+                    self._render_packed(p)
                     outs_all.count_only(1)
                 else:
                     outs_all.append(p)
@@ -1122,7 +1132,7 @@ class MPEG1Decoder:
             return None
         if self.destination is not None and not release:
             for p in outs_all:
-                self.destination.render(p.y, p.cr, p.cb)
+                self._render_packed(p)
         return outs_all
 
     def _decode_available_serial(self, eof: bool = False, pad_to: int = 0):

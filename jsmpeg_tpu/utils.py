@@ -47,3 +47,24 @@ def fetch(x) -> np.ndarray:
 def fetch_planes(planes):
     """Fetch a Planes namedtuple (or any tuple of arrays) to numpy."""
     return type(planes)(*[fetch(p) for p in planes])
+
+
+@jax.jit
+def _pack_planes_jit(y, cr, cb):
+    return jnp.concatenate([y.reshape(-1), cr.reshape(-1), cb.reshape(-1)])
+
+
+def fetch_planes_packed(planes):
+    """Fetch Y/Cr/Cb in ONE readback round trip: concatenate the three
+    uint8 planes on device (free), fetch the single buffer, split on
+    host.  Per-RPC latency dominates small readbacks on the tunneled
+    transport, so this is ~3x cheaper than three per-plane fetches for
+    the single-frame streaming path."""
+    y, cr, cb = planes
+    if isinstance(y, np.ndarray):
+        return planes
+    flat = fetch(_pack_planes_jit(y, cr, cb))
+    ny = flat[:y.size].reshape(y.shape)
+    ncr = flat[y.size:y.size + cr.size].reshape(cr.shape)
+    ncb = flat[y.size + cr.size:].reshape(cb.shape)
+    return type(planes)(ny, ncr, ncb)
