@@ -31,3 +31,21 @@ def test_fetch_odd_width_uint8():
 def test_fetch_3d():
     x = np.random.default_rng(4).integers(0, 256, (3, 8, 16), dtype=np.uint8)
     np.testing.assert_array_equal(fetch(jnp.asarray(x)), x)
+
+
+def test_fetch_planes_packed():
+    from jsmpeg_tpu.ops.frame import Planes
+    from jsmpeg_tpu.utils import fetch_planes_packed
+    rng = np.random.default_rng(5)
+    y = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    cr = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    cb = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    p = Planes(jnp.asarray(y), jnp.asarray(cr), jnp.asarray(cb))
+    got = fetch_planes_packed(p)
+    assert all(isinstance(a, np.ndarray) for a in got)
+    np.testing.assert_array_equal(got.y, y)
+    np.testing.assert_array_equal(got.cr, cr)
+    np.testing.assert_array_equal(got.cb, cb)
+    # numpy input passes through untouched
+    again = fetch_planes_packed(got)
+    assert again.y is got.y
