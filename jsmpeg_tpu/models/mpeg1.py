@@ -468,7 +468,7 @@ def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
     # positions are distinct and the device's bit-cumsum numbers runs in
     # record order.
     lens = batch['run_len'].astype(np.int64)
-    assert rt == 0 or lens.min() > 0
+    assert rt == 0 or (lens.min() > 0 and lens.sum() <= F * n_mb)
     starts = np.cumsum(lens) - lens
     bm = np.zeros(B, np.uint8)
     np.bitwise_or.at(bm, starts >> 3, (1 << (starts & 7)).astype(np.uint8))
