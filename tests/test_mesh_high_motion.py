@@ -87,3 +87,38 @@ def test_decode_packed_mesh_grows_halo():
     for i, p in enumerate(got):
         np.testing.assert_array_equal(np.asarray(p.y), ref[i][0],
                                       err_msg=f'frame {i}')
+
+
+def test_fcode5_wide_mv_wire():
+    """f_code=5 allows |mv| up to 255 half-pels -- beyond int8, so the
+    fused wire must pick its mv_wide record variant (host-side check)
+    and decode bit-exactly vs the serial oracle, single-chip and on a
+    mesh whose tiles can hold the 8-MB-row halo."""
+    from jsmpeg_tpu.models.mpeg1 import mv_fits_narrow
+    es, _ = encode_test_stream(96, 256, n_frames=4, seed=23, gop=2,
+                               f_code=5)
+    ref = _serial(es)
+
+    # the stream really carries wide vectors
+    dec = MPEG1Decoder()
+    dec.write(0.0, es)
+    batch = dec.parser.parse_batch(32, eof=True)
+    assert isinstance(batch, dict) and 'sp_pos' in batch
+    assert not mv_fits_narrow(batch['run_mv'])
+
+    dec2 = MPEG1Decoder()
+    dec2.write(0.0, es)
+    got = [(np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
+           for p in dec2.decode_available(eof=True)]
+    assert len(got) == len(ref)
+    for i, (g, r) in enumerate(zip(got, ref)):
+        for a, b in zip(g, r):
+            np.testing.assert_array_equal(a, b, err_msg=f'frame {i}')
+
+    # mesh leg: 2 tiles x 8 MB rows hold the grown halo
+    mesh = make_mesh(n_gop=4, n_tile=2)
+    gotm = _mesh_via_decoder(es, mesh)
+    assert len(gotm) == len(ref)
+    for i, (g, r) in enumerate(zip(gotm, ref)):
+        for a, b in zip(g, r):
+            np.testing.assert_array_equal(a, b, err_msg=f'mesh frame {i}')
