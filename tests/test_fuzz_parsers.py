@@ -110,7 +110,7 @@ def test_structured_fuzz():
             seed=int(rng.integers(0, 1 << 30)),
             gop=int(rng.integers(1, 5)),
             qscale=int(rng.integers(1, 32)),
-            f_code=int(rng.integers(1, 5)),
+            f_code=int(rng.integers(1, 6)),
             custom_matrices=bool(rng.random() < 0.25),
             full_pel=bool(rng.random() < 0.25),
             b_stubs=bool(rng.random() < 0.25),
