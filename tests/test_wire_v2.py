@@ -170,3 +170,30 @@ def test_wire_ids_decode_bit_exact():
     for i, (a, b) in enumerate(zip(ref, got)):
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y, err_msg=f'frame {i}')
+
+
+def test_release_mode_multi_batch_order():
+    """retain=False across multiple device batches: the deferred-render
+    pipeline (render one batch behind dispatch) must deliver every frame
+    to the sink in stream order, identical to the retained path."""
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.sinks import VideoCollector
+    from jsmpeg_tpu.testing.gen import encode_realistic_stream
+    es, _ = encode_realistic_stream(96, 128, n_frames=40, seed=29, gop=8)
+
+    d1 = MPEG1Decoder()
+    d1.write(0.0, es)
+    ref = [(np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
+           for p in d1.decode_available(eof=True)]
+
+    d2 = MPEG1Decoder()
+    sink = VideoCollector()
+    d2.connect(sink)
+    d2.write(0.0, es)
+    outs = d2.decode_available(eof=True, retain=False)
+    assert len(outs) == len(ref) == 40
+    assert len(sink.frames) == 40
+    for i, (got, r) in enumerate(zip(sink.frames, ref)):
+        for a, b in zip(got, r):
+            np.testing.assert_array_equal(np.asarray(a), b,
+                                          err_msg=f'frame {i}')
