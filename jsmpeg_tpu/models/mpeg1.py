@@ -20,10 +20,12 @@ import numpy as np
 from ..host.mpeg1_parse import FrameData, MPEG1Parser
 from ..ops.cumsum import indicator_cumsum
 from ..ops.frame import FrameArrays, LevelsArrays, Planes, \
-    decode_frame_planes, decode_frame_step, levels_to_frame
+    blocks_to_planes, decode_frame_planes, decode_frame_step, \
+    levels_to_frame, planes_to_blocks
 
 def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
-                     mb_h: int, mb_w: int, band_halo: int = None):
+                     mb_h: int, mb_w: int, band_halo: int = None,
+                     carry_layout: str = 'plane'):
     """Shared lax.scan step for every levels-wire pipeline: dequant +
     IDCT + MC + assembly for one frame.  (A hand-scheduled Pallas
     dequant+IDCT alternative was measured slower than the XLA fusion and
@@ -31,7 +33,8 @@ def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
     docs/PERF_ANALYSIS.md.)"""
     fr = levels_to_frame(la, intra_q, non_intra_q)
     return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w,
-                             band_halo=band_halo)
+                             band_halo=band_halo,
+                             carry_layout=carry_layout)
 
 
 def frame_to_arrays(f: FrameData, valid: bool = True) -> FrameArrays:
@@ -222,12 +225,13 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
 @functools.partial(jax.jit,
                    static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
                                     'n_runs', 'band_halo', 'mv_wide',
-                                    'wire_ids'))
+                                    'wire_ids', 'block_carry'))
 def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                       mb_h: int, mb_w: int, n_frames: int, n_blk: int,
                       n_runs: int, band_halo: int = None,
-                      mv_wide: bool = False, wire_ids: bool = False):
+                      mv_wide: bool = False, wire_ids: bool = False,
+                      block_carry: bool = False):
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links);
     see unpack_fused for the wire layout."""
@@ -236,7 +240,7 @@ def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
         n_blk if wire_ids else 0)
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk,
-                        band_halo, blk_dense)
+                        band_halo, blk_dense, block_carry)
 
 
 # coefficient-scatter segment size: XLA compile time for one big scatter
@@ -313,32 +317,52 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk',
-                                              'band_halo'))
+                                              'band_halo', 'block_carry'))
 def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        cbp: jnp.ndarray, mv16: jnp.ndarray,
                        sp_pos: jnp.ndarray, sp_val: jnp.ndarray,
                        intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                        valid: jnp.ndarray, mb_h: int, mb_w: int, n_blk: int,
                        band_halo: int = None,
-                       blk_dense: jnp.ndarray = None):
-    """Packed-wire pipeline: see packed_to_levels for the wire format."""
+                       blk_dense: jnp.ndarray = None,
+                       block_carry: bool = False):
+    """Packed-wire pipeline: see packed_to_levels for the wire format.
+
+    block_carry=True scans with the reference planes carried in MB-block
+    layout (one uint8 relayout per plane per step instead of two,
+    ops/frame.py) and converts carry + stacked outputs at the batch
+    boundaries; the external contract is identical."""
     stacked = packed_to_levels(flags, cbp, mv16, sp_pos, sp_val, valid,
                                n_blk, blk_dense)
 
-    step = functools.partial(levels_scan_step, intra_q=intra_q,
-                             non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
-                             band_halo=band_halo)
+    if block_carry:
+        cur = planes_to_blocks(cur, mb_h, mb_w)
+        fwd = planes_to_blocks(fwd, mb_h, mb_w)
+    step = functools.partial(
+        levels_scan_step, intra_q=intra_q,
+        non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
+        band_halo=band_halo,
+        carry_layout='block' if block_carry else 'plane')
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
+    if block_carry:
+        cur = blocks_to_planes(cur, mb_h, mb_w)
+        fwd = blocks_to_planes(fwd, mb_h, mb_w)
+        # one batched relayout per plane for the whole scan's outputs
+        unblk = lambda x, b: x.transpose(0, 1, 3, 2, 4).reshape(
+            x.shape[0], mb_h * b, mb_w * b)
+        outs = Planes(unblk(outs.y, 16), unblk(outs.cr, 8),
+                      unblk(outs.cb, 8))
     return cur, fwd, outs
 
 
 def _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val, intra_q,
                  non_intra_q, valid, mb_h, mb_w, n_blk, band_halo=None,
-                 blk_dense=None):
+                 blk_dense=None, block_carry=False):
     return decode_scan_packed.__wrapped__(cur, fwd, flags, cbp, mv16,
                                           sp_pos, sp_val, intra_q,
                                           non_intra_q, valid, mb_h, mb_w,
-                                          n_blk, band_halo, blk_dense)
+                                          n_blk, band_halo, blk_dense,
+                                          block_carry)
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
@@ -628,6 +652,11 @@ class MPEG1Decoder:
         # device skips the ordinal computation; off by default (the
         # tunneled H2D here is upload-bound)
         self.wire_ids = bool(options.get('wire_ids'))
+        # scan-carry layout experiment: carry reference planes in MB-block
+        # layout (halves per-step uint8 relayouts; A/B'd on-chip before
+        # any default flip)
+        self.block_carry = bool(options.get(
+            'block_carry', os.environ.get('JSMPEG_TPU_BLOCK_CARRY')))
         self.buffer_size = options.get('videoBufferSize', 512 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0
@@ -913,7 +942,7 @@ class MPEG1Decoder:
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=staged['F'],
             n_blk=staged['n_blk'], n_runs=staged['n_runs'],
             band_halo=staged['band_halo'], mv_wide=staged['mv_wide'],
-            wire_ids=staged['wire_ids'])
+            wire_ids=staged['wire_ids'], block_carry=self.block_carry)
         return outs
 
     def _dispatch_batch(self, batch, n_frames=None, staged=None):

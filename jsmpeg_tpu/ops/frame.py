@@ -137,6 +137,20 @@ def _bmask_mb(per_mb: jnp.ndarray, mb_h: int, mb_w: int,
                             (mb_h, mb_w, block, block))
 
 
+def planes_to_blocks(p: Planes, mb_h: int, mb_w: int) -> Planes:
+    """Plane-layout Planes -> MB-block-layout Planes (uint8 relayouts)."""
+    return Planes(_to_blocks(p.y, mb_h, mb_w, 16),
+                  _to_blocks(p.cr, mb_h, mb_w, 8),
+                  _to_blocks(p.cb, mb_h, mb_w, 8))
+
+
+def blocks_to_planes(p: Planes, mb_h: int, mb_w: int) -> Planes:
+    """MB-block-layout Planes -> plane-layout Planes."""
+    return Planes(_to_plane(p.y, mb_h, mb_w, 16),
+                  _to_plane(p.cr, mb_h, mb_w, 8),
+                  _to_plane(p.cb, mb_h, mb_w, 8))
+
+
 def _combine(base: jnp.ndarray, resid: jnp.ndarray, coded: jnp.ndarray,
              intra: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel select: uncoded -> base; coded intra -> clamp(resid);
@@ -150,12 +164,19 @@ def _combine(base: jnp.ndarray, resid: jnp.ndarray, coded: jnp.ndarray,
 def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
                         mb_h: int, mb_w: int,
                         resid: jnp.ndarray = None,
-                        band_halo=None) -> Planes:
+                        band_halo=None,
+                        carry_layout: str = 'plane') -> Planes:
     """One picture: returns the decoded planes (the caller handles the
     current/forward rotation).  `resid` overrides the IDCT of f.coef with
     precomputed [n_mb, 6, 8, 8] residuals (the Pallas fused-kernel path);
     `band_halo` (static, luma rows) bounds MV reach for the band-limited
-    one-hot motion compensation (ops/motion.py)."""
+    one-hot motion compensation (ops/motion.py).
+
+    carry_layout='block': cur/fwd arrive AND the result returns in
+    MB-block layout ([mb_h, mb_w, blk, blk]).  Only the MC reference
+    relayouts to plane space (one uint8 relayout per plane per step
+    instead of two -- carry-in to block plus result to plane); scanning
+    callers convert the batch once at the boundaries."""
     if resid is None:
         resid = idct_s32(f.coef.reshape(-1, 6, 8, 8))  # [n_mb, 6, 8, 8]
 
@@ -190,36 +211,36 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
             band_halo = None
     else:
         halo_c = None
-    pred_y = motion_compensate(fwd.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,
+    block_carry = carry_layout == 'block'
+    fwd_p = blocks_to_planes(fwd, mb_h, mb_w) if block_carry else fwd
+    cur_b = cur if block_carry else planes_to_blocks(cur, mb_h, mb_w)
+    pred_y = motion_compensate(fwd_p.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,
                                band_halo=band_halo, layout='block')
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
     # NOTE: batching cr+cb through one concatenated contraction pair
     # was measured ~7 ms/batch SLOWER at 720p (PERF_ANALYSIS.md)
     # (the 5D einsum layouts worse than two 4D passes) and reverted.
-    pred_cr = motion_compensate(fwd.cr, cmh, cmv, mb_h, mb_w, 8,
+    pred_cr = motion_compensate(fwd_p.cr, cmh, cmv, mb_h, mb_w, 8,
                                 band_halo=halo_c, layout='block')
-    pred_cb = motion_compensate(fwd.cb, cmh, cmv, mb_h, mb_w, 8,
+    pred_cb = motion_compensate(fwd_p.cb, cmh, cmv, mb_h, mb_w, 8,
                                 band_halo=halo_c, layout='block')
 
-    base_y = jnp.where(written_y, pred_y,
-                       _to_blocks(cur.y, mb_h, mb_w, 16).astype(jnp.int32))
-    base_cr = jnp.where(written_c, pred_cr,
-                        _to_blocks(cur.cr, mb_h, mb_w, 8).astype(jnp.int32))
-    base_cb = jnp.where(written_c, pred_cb,
-                        _to_blocks(cur.cb, mb_h, mb_w, 8).astype(jnp.int32))
+    base_y = jnp.where(written_y, pred_y, cur_b.y.astype(jnp.int32))
+    base_cr = jnp.where(written_c, pred_cr, cur_b.cr.astype(jnp.int32))
+    base_cb = jnp.where(written_c, pred_cb, cur_b.cb.astype(jnp.int32))
 
-    return Planes(
-        y=_to_plane(_combine(base_y, ry, coded_y, intra_y), mb_h, mb_w, 16),
-        cr=_to_plane(_combine(base_cr, rcr, coded_cr, intra_c),
-                     mb_h, mb_w, 8),
-        cb=_to_plane(_combine(base_cb, rcb, coded_cb, intra_c),
-                     mb_h, mb_w, 8),
+    out = Planes(
+        y=_combine(base_y, ry, coded_y, intra_y),
+        cr=_combine(base_cr, rcr, coded_cr, intra_c),
+        cb=_combine(base_cb, rcb, coded_cb, intra_c),
     )
+    return out if block_carry else blocks_to_planes(out, mb_h, mb_w)
 
 
 def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int,
-                      resid: jnp.ndarray = None, band_halo: int = None):
+                      resid: jnp.ndarray = None, band_halo: int = None,
+                      carry_layout: str = 'plane'):
     """lax.scan step over the frames of a GOP.
 
     carry = (cur, fwd): `fwd` is the reference (last decoded I/P picture),
@@ -227,7 +248,8 @@ def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int,
     rotation at src/mpeg1.js:220-246 expressed as a scan carry)."""
     cur, fwd = carry
     out = decode_frame_planes(cur, fwd, f, mb_h, mb_w, resid=resid,
-                              band_halo=band_halo)
+                              band_halo=band_halo,
+                              carry_layout=carry_layout)
 
     def keep(old, new):
         return jnp.where(f.valid, new, old)
