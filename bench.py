@@ -355,6 +355,17 @@ def device_rows(emit):
     np.asarray(fetch(r[2].y[-1, :1, :4]))
     emit('device_pipeline_ids_fps',
          round(32 * 10 / (time.monotonic() - t0), 2))
+    # A/B: block-space scan carry (one uint8 relayout per plane per scan
+    # step instead of two; bit-exact, tests/test_block_carry.py).  Same
+    # resident wire buffer, so the row isolates the device-side effect.
+    r = decode_scan_fused(cur, fwd, dev, iq, nq, block_carry=True, **kw)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
+    t0 = time.monotonic()
+    for _ in range(10):
+        r = decode_scan_fused(cur, fwd, dev, iq, nq, block_carry=True, **kw)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))
+    emit('device_pipeline_bc_fps',
+         round(32 * 10 / (time.monotonic() - t0), 2))
     # single-batch round-trip latency (dispatch + scan + 4-byte fetch)
     t0 = time.monotonic()
     for _ in range(3):
