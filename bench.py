@@ -311,7 +311,8 @@ def device_rows(emit):
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(32, eof=True)
     seq = dec.parser.seq
-    buf, n_blk, n_runs, mvw = build_fused_buffer(batch, 32, seq.mb_size)
+    buf, n_blk, n_runs, mvw, n_pairs, n_esc = build_fused_buffer(
+        batch, 32, seq.mb_size)
     dev = jax.device_put(buf)
     cw, ch = seq.coded_width, seq.coded_height
     z = lambda hh, ww: jnp.zeros((hh, ww), dtype=jnp.uint8)
@@ -320,7 +321,7 @@ def device_rows(emit):
     iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
     nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
     kw = dict(mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=32,
-              n_blk=n_blk, n_runs=n_runs,
+              n_blk=n_blk, n_runs=n_runs, n_pairs=n_pairs, n_esc=n_esc,
               band_halo=MPEG1Decoder._band_halo(batch), mv_wide=mvw)
     r = decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
     np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
@@ -343,10 +344,11 @@ def device_rows(emit):
     # A/B: the wire_ids fast-link variant (+2 B/coded block of upload,
     # device skips the coded-mask ordinal computation).  Wire resident,
     # so this row shows the pure device-side effect.
-    bufi, nbi, nri, mvwi = build_fused_buffer(batch, 32, seq.mb_size,
-                                              wire_ids=True)
+    bufi, nbi, nri, mvwi, npri, nesi = build_fused_buffer(
+        batch, 32, seq.mb_size, wire_ids=True)
     devi = jax.device_put(bufi)
-    kwi = dict(kw, n_blk=nbi, n_runs=nri, mv_wide=mvwi, wire_ids=True)
+    kwi = dict(kw, n_blk=nbi, n_runs=nri, mv_wide=mvwi, wire_ids=True,
+               n_pairs=npri, n_esc=nesi)
     r = decode_scan_fused(cur, fwd, devi, iq, nq, **kwi)
     np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
     t0 = time.monotonic()
@@ -413,7 +415,8 @@ def device_rows(emit):
     d10.write(0.0, es_1080)
     b10 = d10.parser.parse_batch(32, eof=True)
     s10 = d10.parser.seq
-    buf10, nb10, nr10, mvw10 = build_fused_buffer(b10, 32, s10.mb_size)
+    buf10, nb10, nr10, mvw10, np10, ne10 = build_fused_buffer(
+        b10, 32, s10.mb_size)
     dev10 = jax.device_put(buf10)
     z10 = lambda hh, ww: jnp.zeros((hh, ww), dtype=jnp.uint8)
     cur10 = Planes(z10(s10.coded_height, s10.coded_width),
@@ -422,7 +425,7 @@ def device_rows(emit):
     iq10 = jnp.asarray(s10.intra_quant_matrix, dtype=jnp.int32)
     nq10 = jnp.asarray(s10.non_intra_quant_matrix, dtype=jnp.int32)
     kw10 = dict(mb_h=s10.mb_height, mb_w=s10.mb_width, n_frames=32,
-                n_blk=nb10, n_runs=nr10,
+                n_blk=nb10, n_runs=nr10, n_pairs=np10, n_esc=ne10,
                 band_halo=MPEG1Decoder._band_halo(b10), mv_wide=mvw10)
     r10 = decode_scan_fused(cur10, cur10, dev10, iq10, nq10, **kw10)
     np.asarray(fetch(r10[2].y[-1, :1, :4]))

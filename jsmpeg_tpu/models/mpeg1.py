@@ -122,12 +122,17 @@ def _bitmap_bytes(n_frames: int, n_mb: int) -> int:
 
 
 def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
-                 mv_wide: bool = False, ids_blk: int = 0):
+                 mv_wide: bool = False, ids_blk: int = 0,
+                 n_pairs: int = None, n_esc: int = None):
     """Decode the single-upload wire buffer into per-MB streams.
 
     Layout (wire v2, round 3): [valid F][run-start bitmap B=(F*n_mb+7)//8]
-    [run records][sp_pos P][sp_v8 i8 P][sp_esc LE i16 2*(P//8)], so
-    P = (len-F-B-wR)*4//9.  Per-MB metadata is run-length encoded over
+    [run records][sp_pos P][sp_v8 i8 P][sp_esc LE i16 2*E].  P and E
+    arrive as the static args n_pairs/n_esc (eighth-octave buckets, the
+    escape stream sized on its own); with n_pairs=None the legacy
+    length-derivation applies: P = (len-F-B-wR)*4//9 and E = P//8 (the
+    mesh paths keep this form so cells agree on one shape).
+    Per-MB metadata is run-length encoded over
     (flags, cbp, mv) tuples, but the run LENGTHS never ride the wire:
     one bit per MB marks run starts (bitorder little), and the device
     expands them with a single exact MXU cumsum -- smaller than the old
@@ -154,8 +159,12 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
     B = _bitmap_bytes(F, n_mb)
     w = 8 if mv_wide else 4
     ids_bytes = 2 * F + 2 * ids_blk if ids_blk else 0
-    P = (buf.shape[0] - F - B - w * R - ids_bytes) * 4 // 9
-    E = P // 8
+    if n_pairs is None:     # legacy: sizes derivable from length alone
+        P = (buf.shape[0] - F - B - w * R - ids_bytes) * 4 // 9
+        E = P // 8
+    else:                   # fine-bucketed: escape stream sized on its own
+        P = n_pairs
+        E = n_esc
     o = F
     valid = buf[:F] != 0
     bm = buf[o:o + B]
@@ -225,19 +234,21 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
 @functools.partial(jax.jit,
                    static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
                                     'n_runs', 'band_halo', 'mv_wide',
-                                    'wire_ids', 'block_carry'))
+                                    'wire_ids', 'block_carry', 'n_pairs',
+                                    'n_esc'))
 def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                       mb_h: int, mb_w: int, n_frames: int, n_blk: int,
                       n_runs: int, band_halo: int = None,
                       mv_wide: bool = False, wire_ids: bool = False,
-                      block_carry: bool = False):
+                      block_carry: bool = False, n_pairs: int = None,
+                      n_esc: int = None):
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links);
     see unpack_fused for the wire layout."""
     valid, flags, cbp, mv16, sp_pos, sp_val, blk_dense = unpack_fused(
         buf, n_frames, mb_h * mb_w, n_runs, mv_wide,
-        n_blk if wire_ids else 0)
+        n_blk if wire_ids else 0, n_pairs=n_pairs, n_esc=n_esc)
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk,
                         band_halo, blk_dense, block_carry)
@@ -376,6 +387,32 @@ def _bucket(n: int, lo: int = 4096) -> int:
     return b
 
 
+def _bucket_fine(n: int, lo: int = 4096) -> int:
+    """Smallest m*2^k >= n with m in 8..15 (eighth-octave steps,
+    <=12.5% padding).  The wire is upload-bound on the tunneled
+    transport, so bucket padding is paid in real transfer time; callers
+    that need stability across batches add stickiness on top
+    (_sticky_bucket) rather than coarser steps."""
+    if n <= lo:
+        return lo
+    k = max((n - 1).bit_length() - 4, 0)
+    m = -(-n >> k) if k else n          # ceil(n / 2^k)
+    return m << k
+
+
+def _sticky_bucket(floors: dict, key: str, fine: int) -> int:
+    """Reuse the caller's previous bucket while it still fits and wastes
+    <= ~25% over the current fine bucket -- a stream whose sizes wander
+    across one bucket boundary then compiles ONE jit variant, not two."""
+    if floors is None:
+        return fine
+    prev = floors.get(key)
+    if prev is not None and fine <= prev <= fine + (fine >> 2):
+        return prev
+    floors[key] = fine
+    return fine
+
+
 _POPCOUNT8 = np.array([bin(x).count('1') for x in range(256)], np.int64)
 
 
@@ -429,6 +466,15 @@ def _pair_bucket(n: int) -> int:
     return -(-n // SCATTER_SEG) * SCATTER_SEG
 
 
+def _pair_bucket_fine(n: int) -> int:
+    """Eighth-octave pair bucket below one scatter segment, then whole
+    multiples of SCATTER_SEG (single-chip fused path; the mesh paths
+    keep the coarse buckets so cells agree on one shape)."""
+    if n <= SCATTER_SEG:
+        return min(_bucket_fine(max(n, 1)), SCATTER_SEG)
+    return -(-n // SCATTER_SEG) * SCATTER_SEG
+
+
 def fused_pair_bucket(total: int, n_esc: int) -> int:
     """Pair bucket large enough for `total` pairs AND `n_esc` escapes
     (the escape stream caps at bucket//8)."""
@@ -445,45 +491,66 @@ def mv_fits_narrow(mv: np.ndarray) -> bool:
 
 
 def fused_buffer_len(n_frames: int, n_mb: int, n_pairs: int, n_runs: int,
-                     mv_wide: bool, ids_blk: int = 0) -> int:
-    """Total wire-v2 buffer length for the given static sizes."""
+                     mv_wide: bool, ids_blk: int = 0,
+                     n_esc: int = None) -> int:
+    """Total wire-v2 buffer length for the given static sizes.  n_esc
+    sizes the int16 escape side stream independently (the fine-bucketed
+    single-chip path); None keeps the legacy n_pairs//8 reserve whose
+    size is derivable from the buffer length alone (mesh paths)."""
     return (n_frames + _bitmap_bytes(n_frames, n_mb)
             + (8 if mv_wide else 4) * n_runs
             + (2 * n_frames + 2 * ids_blk if ids_blk else 0)
-            + 2 * n_pairs + 2 * (n_pairs // 8))
+            + 2 * n_pairs
+            + 2 * (n_pairs // 8 if n_esc is None else n_esc))
 
 
 def build_fused_buffer(batch: dict, n_frames: int, n_mb: int,
-                       wire_ids: bool = False):
+                       wire_ids: bool = False, sticky: dict = None):
     """Assemble the single-upload wire buffer for decode_scan_fused from a
-    packed parse_batch dict.  Returns (buf uint8, n_blk, n_runs, mv_wide)
-    with bucketed static sizes (see unpack_fused for the layout)."""
-    bucket = fused_pair_bucket(len(batch['sp_pos']), len(batch['sp_esc']))
+    packed parse_batch dict.  Returns (buf uint8, n_blk, n_runs, mv_wide,
+    n_pairs, n_esc) with bucketed static sizes (see unpack_fused for the
+    layout).
+
+    Sizes use eighth-octave buckets (<=12.5% padding: the wire is
+    upload-bound, so every padding byte is paid in transfer time) with
+    an independently-sized escape stream.  `sticky` is an optional
+    mutable dict the caller carries across batches: sizes that wander
+    across one bucket boundary then reuse the previous bucket instead of
+    compiling a second jit variant."""
+    n_pairs = _sticky_bucket(sticky, 'pairs',
+                             _pair_bucket_fine(max(len(batch['sp_pos']), 1)))
+    n_esc = _sticky_bucket(sticky, 'esc',
+                           _bucket_fine(len(batch['sp_esc']), lo=128))
     n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
-    n_runs = _bucket(max(len(batch['run_len']), 1), lo=256)
+    n_runs = _sticky_bucket(sticky, 'runs',
+                            _bucket_fine(len(batch['run_len']), lo=256))
     mv_wide = not mv_fits_narrow(batch['run_mv'])
-    buf = build_fused_buffer_sized(batch, n_frames, bucket, n_runs, n_mb,
-                                   mv_wide, n_blk if wire_ids else 0)
-    return buf, n_blk, n_runs, mv_wide
+    buf = build_fused_buffer_sized(batch, n_frames, n_pairs, n_runs, n_mb,
+                                   mv_wide, n_blk if wire_ids else 0,
+                                   n_esc=n_esc)
+    return buf, n_blk, n_runs, mv_wide, n_pairs, n_esc
 
 
 def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
                              n_runs: int, n_mb: int,
                              mv_wide: bool = False,
-                             ids_blk: int = 0) -> np.ndarray:
+                             ids_blk: int = 0,
+                             n_esc: int = None) -> np.ndarray:
     """build_fused_buffer with caller-fixed bucket sizes (mesh cells share
-    one shape so the sharded decode compiles once)."""
+    one shape so the sharded decode compiles once).  n_esc=None keeps the
+    legacy n_pairs//8 escape reserve (length-derivable, mesh paths)."""
     F = n_frames
     n = batch['n']
     total = len(batch['sp_pos'])
-    n_esc = len(batch['sp_esc'])
+    actual_esc = len(batch['sp_esc'])
+    esc_cap = n_pairs // 8 if n_esc is None else n_esc
     bucket = n_pairs
     rt = len(batch['run_len'])
-    assert total <= bucket and n_esc <= bucket // 8 and rt <= n_runs
+    assert total <= bucket and actual_esc <= esc_cap and rt <= n_runs
     B = _bitmap_bytes(F, n_mb)
     w = 8 if mv_wide else 4
     buf = np.zeros(fused_buffer_len(F, n_mb, bucket, n_runs, mv_wide,
-                                    ids_blk), dtype=np.uint8)
+                                    ids_blk, n_esc=n_esc), dtype=np.uint8)
     buf[:F] = np.arange(F) < n
     o = F
     # run-start bitmap: bit (i & 7) of byte (i >> 3) marks MB i opening a
@@ -537,7 +604,7 @@ def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
     o += bucket
     buf[o:o + total] = batch['sp_v8'].view(np.uint8)
     o += bucket
-    buf[o:o + 2 * n_esc] = batch['sp_esc'].view(np.uint8)
+    buf[o:o + 2 * actual_esc] = batch['sp_esc'].view(np.uint8)
     return buf
 
 
@@ -916,14 +983,18 @@ class MPEG1Decoder:
         thread-safe)."""
         seq = self.parser.seq
         F = n_frames or self.BATCH_FRAMES
-        buf, n_blk, n_runs, mv_wide = build_fused_buffer(
-            batch, F, seq.mb_size, wire_ids=self.wire_ids)
+        sticky = getattr(self, '_wire_sticky', None)
+        if sticky is None:
+            sticky = self._wire_sticky = {}
+        buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
+            batch, F, seq.mb_size, wire_ids=self.wire_ids, sticky=sticky)
         if os.environ.get('JSMPEG_TPU_SYNC_H2D'):
             fut = self._ResolvedFuture(jax.device_put(buf))
         else:
             fut = self._h2d_pool().submit(jax.device_put, buf)
         return dict(fut=fut,
                     F=F, n_blk=n_blk, n_runs=n_runs, mv_wide=mv_wide,
+                    n_pairs=n_pairs, n_esc=n_esc,
                     band_halo=self._band_halo(batch),
                     wire_ids=self.wire_ids)
 
@@ -942,7 +1013,8 @@ class MPEG1Decoder:
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=staged['F'],
             n_blk=staged['n_blk'], n_runs=staged['n_runs'],
             band_halo=staged['band_halo'], mv_wide=staged['mv_wide'],
-            wire_ids=staged['wire_ids'], block_carry=self.block_carry)
+            wire_ids=staged['wire_ids'], block_carry=self.block_carry,
+            n_pairs=staged.get('n_pairs'), n_esc=staged.get('n_esc'))
         return outs
 
     def _dispatch_batch(self, batch, n_frames=None, staged=None):

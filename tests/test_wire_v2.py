@@ -48,15 +48,15 @@ def test_roundtrip(wide):
     n, n_mb, F = 3, 25, 4
     batch, fl, cb, mv = _mk_batch(rng, n, n_mb, wide)
     assert mv_fits_narrow(batch['run_mv']) == (not wide)
-    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, n_mb)
+    buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
+        batch, F, n_mb)
     assert mv_wide == wide
-    assert len(buf) == fused_buffer_len(F, n_mb, (len(buf) > 0) and
-                                        _pairs_of(buf, F, n_mb, n_runs,
-                                                  mv_wide), n_runs, mv_wide)
+    assert len(buf) == fused_buffer_len(F, n_mb, n_pairs, n_runs, mv_wide,
+                                        n_esc=n_esc)
     valid, gfl, gcb, gmv, sp_pos, sp_val, _ = jax.jit(
         unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
-                                       'mv_wide'))(
-        buf, F, n_mb, n_runs, mv_wide)
+                                       'mv_wide', 'n_pairs', 'n_esc'))(
+        buf, F, n_mb, n_runs, mv_wide, n_pairs=n_pairs, n_esc=n_esc)
     np.testing.assert_array_equal(np.asarray(valid),
                                   np.arange(F) < n)
     np.testing.assert_array_equal(
@@ -68,12 +68,6 @@ def test_roundtrip(wide):
     # escape side-stream resolved
     sp_val = np.asarray(sp_val)
     assert sp_val[0] == 7 and sp_val[1] == 1234
-
-
-def _pairs_of(buf, F, n_mb, n_runs, mv_wide):
-    from jsmpeg_tpu.models.mpeg1 import _bitmap_bytes
-    w = 8 if mv_wide else 4
-    return (len(buf) - F - _bitmap_bytes(F, n_mb) - w * n_runs) * 4 // 9
 
 
 def test_wide_mesh_cells_share_variant():
@@ -99,7 +93,7 @@ def test_wire_v2_smaller():
     """The bitmap + 4 B records beat the old 8 B/run + u16 lengths."""
     rng = np.random.default_rng(3)
     batch, *_ = _mk_batch(rng, 3, 100, wide=False)
-    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, 4, 100)
+    buf, n_blk, n_runs, mv_wide, _, _ = build_fused_buffer(batch, 4, 100)
     old = 4 + 8 * n_runs + 2 * 4096 + 2 * (4096 // 8)
     assert len(buf) < old
 
@@ -136,12 +130,14 @@ def test_wire_ids_blk_dense():
     batch['run_mv'] = mv_mb[st]
     n_coded = int(np.unpackbits(cb_mb & 0x3F).sum())
     batch['n_blocks'] = n_coded
-    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, n_mb,
-                                                     wire_ids=True)
+    buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
+        batch, F, n_mb, wire_ids=True)
     out = jax.jit(unpack_fused,
                   static_argnames=('n_frames', 'n_mb', 'n_runs',
-                                   'mv_wide', 'ids_blk'))(
-        buf, F, n_mb, n_runs, mv_wide, n_blk)
+                                   'mv_wide', 'ids_blk', 'n_pairs',
+                                   'n_esc'))(
+        buf, F, n_mb, n_runs, mv_wide, n_blk, n_pairs=n_pairs,
+        n_esc=n_esc)
     blk_dense = np.asarray(out[6])
     # expected: ordinal ids over the coded mask, row-major
     coded = ((cb_mb[:, None] >> np.arange(6)) & 1).astype(bool)
@@ -197,3 +193,54 @@ def test_release_mode_multi_batch_order():
         for a, b in zip(got, r):
             np.testing.assert_array_equal(np.asarray(a), b,
                                           err_msg=f'frame {i}')
+
+
+def test_fine_buckets():
+    """Eighth-octave buckets: m*2^k with m in 8..15, >= n, <= 1.125n
+    above the floor; sticky reuse bounds jit variants across adjacent
+    batches."""
+    from jsmpeg_tpu.models.mpeg1 import (_bucket_fine, _pair_bucket_fine,
+                                         _sticky_bucket, SCATTER_SEG)
+    for n in (1, 100, 4096, 4097, 5000, 65535, 339956, 393216):
+        b = _bucket_fine(n)
+        assert b >= n
+        if n > 4096:
+            assert b <= n + (n + 7) // 8    # <=12.5% padding
+            k = b.bit_length() - 4
+            assert b % (1 << k) == 0 and 8 <= (b >> k) <= 15
+    # pair buckets cap at one scatter segment, then whole multiples
+    assert _pair_bucket_fine(SCATTER_SEG - 5) <= SCATTER_SEG
+    assert _pair_bucket_fine(SCATTER_SEG + 1) == 2 * SCATTER_SEG
+    # sticky: a size wandering one boundary down keeps the old bucket
+    st = {}
+    b1 = _sticky_bucket(st, 'pairs', _bucket_fine(340000))
+    b2 = _sticky_bucket(st, 'pairs', _bucket_fine(330000))
+    assert b2 == b1
+    # a big shrink switches down; growth always switches up
+    b3 = _sticky_bucket(st, 'pairs', _bucket_fine(100000))
+    assert b3 == _bucket_fine(100000)
+    b4 = _sticky_bucket(st, 'pairs', _bucket_fine(400000))
+    assert b4 >= 400000
+
+
+def test_escape_stream_sized_independently():
+    """A batch with many escapes round-trips through an escape bucket
+    larger than the legacy n_pairs//8 reserve would allow."""
+    rng = np.random.default_rng(17)
+    n, n_mb, F = 2, 10, 2
+    batch, fl, cb, mv = _mk_batch(rng, n, n_mb, wide=False)
+    # every pair escapes: n_esc == n_pairs >> n_pairs//8
+    k = 64
+    batch['sp_pos'] = (0x80 | (np.arange(k) % 60)).astype(np.uint8)
+    batch['sp_v8'] = np.full(k, -128, np.int8)
+    batch['sp_esc'] = (np.arange(k) + 300).astype(np.int16)
+    batch['n_blocks'] = k
+    buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
+        batch, F, n_mb)
+    assert n_esc >= k
+    *_, sp_val, _ = jax.jit(
+        unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
+                                       'mv_wide', 'n_pairs', 'n_esc'))(
+        buf, F, n_mb, n_runs, mv_wide, n_pairs=n_pairs, n_esc=n_esc)
+    np.testing.assert_array_equal(np.asarray(sp_val)[:k],
+                                  np.arange(k) + 300)

@@ -59,7 +59,8 @@ def main():
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(F, eof=True)
     seq = dec.parser.seq
-    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, seq.mb_size)
+    buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
+        batch, F, seq.mb_size)
     n_mb = seq.mb_size
     dev = jax.device_put(buf)
     print(f'pairs={len(batch["sp_pos"])} runs={len(batch["run_len"])} '
@@ -70,16 +71,18 @@ def main():
     nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
 
     if 'unpack' in want:
-        uf = jax.jit(unpack_fused, static_argnames=('n_frames', 'n_mb',
-                                                    'n_runs', 'mv_wide'))
-        t = loop_time(lambda: uf(dev, F, n_mb, n_runs, mv_wide),
+        uf = jax.jit(unpack_fused,
+                     static_argnames=('n_frames', 'n_mb', 'n_runs',
+                                      'mv_wide', 'n_pairs', 'n_esc'))
+        t = loop_time(lambda: uf(dev, F, n_mb, n_runs, mv_wide,
+                                 n_pairs=n_pairs, n_esc=n_esc),
                       lambda r: f_first(r[4]))
         print(f'unpack_fused          {t*1e3:8.2f} ms/batch', flush=True)
 
     valid, flags, cbp, mv16, sp_pos, sp_val, _ = jax.jit(
         unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
-                                 'mv_wide'))(
-            dev, F, n_mb, n_runs, mv_wide)
+                                       'mv_wide', 'n_pairs', 'n_esc'))(
+            dev, F, n_mb, n_runs, mv_wide, n_pairs=n_pairs, n_esc=n_esc)
     args = jax.device_put((flags, cbp, mv16, sp_pos, sp_val, valid))
     flags, cbp, mv16, sp_pos, sp_val, valid = args
 
@@ -154,7 +157,8 @@ def main():
             lambda: decode_scan_fused(cur, fwd, dev, iq, nq,
                                       mb_h=seq.mb_height, mb_w=seq.mb_width,
                                       n_frames=F, n_blk=n_blk, n_runs=n_runs,
-                                      band_halo=bh, mv_wide=mv_wide),
+                                      band_halo=bh, mv_wide=mv_wide,
+                                      n_pairs=n_pairs, n_esc=n_esc),
             lambda r: f_first(r[2].y), k=10)
         print(f'full fused (unpack+p2l+scan) {t*1e3:8.2f} ms/batch '
               f'= {F/t:.1f} fps', flush=True)

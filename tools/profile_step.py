@@ -113,13 +113,14 @@ def main():
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(F, eof=True)
     seq = dec.parser.seq
-    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, seq.mb_size)
+    buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
+        batch, F, seq.mb_size)
     n_mb = seq.mb_size
     dev = jax.device_put(buf)
     valid, flags, cbp, mv16, sp_pos, sp_val, _ = jax.jit(
         unpack_fused, static_argnames=('n_frames', 'n_mb', 'n_runs',
-                                 'mv_wide'))(
-            dev, F, n_mb, n_runs, mv_wide)
+                                       'mv_wide', 'n_pairs', 'n_esc'))(
+            dev, F, n_mb, n_runs, mv_wide, n_pairs=n_pairs, n_esc=n_esc)
     stacked = jax.jit(packed_to_levels, static_argnames=('n_blk',))(
         flags, cbp, mv16, sp_pos, sp_val, valid, n_blk)
     stacked = jax.device_put(jax.tree.map(np.asarray, stacked))

@@ -47,11 +47,13 @@ def main():
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(F, eof=True)
     seq = dec.parser.seq
-    buf, n_blk, n_runs, mv_wide = build_fused_buffer(batch, F, seq.mb_size)
+    buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
+        batch, F, seq.mb_size)
     dev = jax.device_put(buf)
-    vals = jax.jit(unpack_fused, static_argnames=('n_frames', 'n_mb',
-                                                  'n_runs', 'mv_wide'))(
-        dev, F, seq.mb_size, n_runs, mv_wide)
+    vals = jax.jit(unpack_fused,
+                   static_argnames=('n_frames', 'n_mb', 'n_runs', 'mv_wide',
+                                    'n_pairs', 'n_esc'))(
+        dev, F, seq.mb_size, n_runs, mv_wide, n_pairs=n_pairs, n_esc=n_esc)
     stacked = jax.jit(packed_to_levels, static_argnames=('n_blk',))(
         *vals[1:6], vals[0], n_blk)
     stacked = jax.device_put(jax.tree.map(np.asarray, stacked))
