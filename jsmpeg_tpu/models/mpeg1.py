@@ -164,7 +164,7 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
         E = P // 8
     else:                   # fine-bucketed: escape stream sized on its own
         P = n_pairs
-        E = n_esc
+        E = P // 8 if n_esc is None else n_esc
     o = F
     valid = buf[:F] != 0
     bm = buf[o:o + B]
@@ -517,13 +517,23 @@ def build_fused_buffer(batch: dict, n_frames: int, n_mb: int,
     mutable dict the caller carries across batches: sizes that wander
     across one bucket boundary then reuse the previous bucket instead of
     compiling a second jit variant."""
-    n_pairs = _sticky_bucket(sticky, 'pairs',
-                             _pair_bucket_fine(max(len(batch['sp_pos']), 1)))
-    n_esc = _sticky_bucket(sticky, 'esc',
-                           _bucket_fine(len(batch['sp_esc']), lo=128))
+    if n_frames == 1:
+        # streaming/latency path: per-frame sizes vary every dispatch and
+        # the whole wire is ~36 kB, so fine buckets would trade compile
+        # stalls (a new jit variant per boundary crossed) for a ~0.4 ms
+        # upload saving -- keep the coarse steps here
+        n_pairs = fused_pair_bucket(len(batch['sp_pos']),
+                                    len(batch['sp_esc']))
+        n_esc = None
+        n_runs = _bucket(max(len(batch['run_len']), 1), lo=256)
+    else:
+        n_pairs = _sticky_bucket(
+            sticky, 'pairs', _pair_bucket_fine(max(len(batch['sp_pos']), 1)))
+        n_esc = _sticky_bucket(sticky, 'esc',
+                               _bucket_fine(len(batch['sp_esc']), lo=128))
+        n_runs = _sticky_bucket(sticky, 'runs',
+                                _bucket_fine(len(batch['run_len']), lo=256))
     n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
-    n_runs = _sticky_bucket(sticky, 'runs',
-                            _bucket_fine(len(batch['run_len']), lo=256))
     mv_wide = not mv_fits_narrow(batch['run_mv'])
     buf = build_fused_buffer_sized(batch, n_frames, n_pairs, n_runs, n_mb,
                                    mv_wide, n_blk if wire_ids else 0,
