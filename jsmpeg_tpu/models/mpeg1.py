@@ -400,6 +400,19 @@ def _bucket_fine(n: int, lo: int = 4096) -> int:
     return m << k
 
 
+# fine buckets pay only at scale: below this many slots the absolute
+# padding of a coarse step is a few kB while every extra bucket value is
+# a full XLA recompile (~100 s over the tunnel), so small sizes stay on
+# the coarse {2^k, 1.5*2^k} steps whose floors absorb batch-to-batch
+# wander
+FINE_MIN = 32768
+
+
+def _wire_bucket(n: int, lo: int) -> int:
+    n = max(n, 1)
+    return _bucket(n, lo) if n <= FINE_MIN else _bucket_fine(n, lo)
+
+
 def _sticky_bucket(floors: dict, key: str, fine: int) -> int:
     """Reuse the caller's previous bucket while it still fits and wastes
     <= ~25% over the current fine bucket -- a stream whose sizes wander
@@ -467,11 +480,11 @@ def _pair_bucket(n: int) -> int:
 
 
 def _pair_bucket_fine(n: int) -> int:
-    """Eighth-octave pair bucket below one scatter segment, then whole
-    multiples of SCATTER_SEG (single-chip fused path; the mesh paths
-    keep the coarse buckets so cells agree on one shape)."""
+    """Size-thresholded pair bucket below one scatter segment, then
+    whole multiples of SCATTER_SEG (single-chip fused path; the mesh
+    paths keep the coarse buckets so cells agree on one shape)."""
     if n <= SCATTER_SEG:
-        return min(_bucket_fine(max(n, 1)), SCATTER_SEG)
+        return min(_wire_bucket(n, 4096), SCATTER_SEG)
     return -(-n // SCATTER_SEG) * SCATTER_SEG
 
 
@@ -530,9 +543,9 @@ def build_fused_buffer(batch: dict, n_frames: int, n_mb: int,
         n_pairs = _sticky_bucket(
             sticky, 'pairs', _pair_bucket_fine(max(len(batch['sp_pos']), 1)))
         n_esc = _sticky_bucket(sticky, 'esc',
-                               _bucket_fine(len(batch['sp_esc']), lo=128))
+                               _wire_bucket(len(batch['sp_esc']), lo=1024))
         n_runs = _sticky_bucket(sticky, 'runs',
-                                _bucket_fine(len(batch['run_len']), lo=256))
+                                _wire_bucket(len(batch['run_len']), lo=512))
     n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
     mv_wide = not mv_fits_narrow(batch['run_mv'])
     buf = build_fused_buffer_sized(batch, n_frames, n_pairs, n_runs, n_mb,

@@ -244,3 +244,26 @@ def test_escape_stream_sized_independently():
         buf, F, n_mb, n_runs, mv_wide, n_pairs=n_pairs, n_esc=n_esc)
     np.testing.assert_array_equal(np.asarray(sp_val)[:k],
                                   np.arange(k) + 300)
+
+def test_sticky_buckets_bound_jit_variants():
+    """Across many consecutive batches of one stream, the sticky bucket
+    dict must keep the (n_pairs, n_esc, n_runs) static triple to at most
+    two distinct values per axis (each new value is a full XLA
+    recompile on the real device)."""
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder, build_fused_buffer
+    from jsmpeg_tpu.testing.gen import encode_realistic_stream
+    es, _ = encode_realistic_stream(192, 112, n_frames=64, seed=7, gop=8)
+    dec = MPEG1Decoder()
+    dec.write(0.0, es)
+    sticky = {}
+    seen = set()
+    while True:
+        b = dec.parser.parse_batch(8, eof=True)
+        if not isinstance(b, dict) or b['n'] == 0:
+            break
+        _, _, n_runs, _, n_pairs, n_esc = build_fused_buffer(
+            b, 8, dec.parser.seq.mb_size, sticky=sticky)
+        seen.add((n_pairs, n_esc, n_runs))
+        if b['n'] < 8:
+            break
+    assert 1 <= len(seen) <= 2, seen
