@@ -29,7 +29,7 @@ parts:
 `python bench.py --host-only` skips the device child entirely.
 
 Env knobs: BENCH_FRAMES (default 96), BENCH_DEVICE_ATTEMPTS (3),
-BENCH_DEVICE_BACKOFF (60 s), BENCH_DEVICE_TIMEOUT (2400 s),
+BENCH_DEVICE_BACKOFF (60 s), BENCH_DEVICE_TIMEOUT (3000 s),
 BENCH_SCALING=0 to skip the mesh-scaling row.
 
 Rows:
@@ -42,6 +42,8 @@ Rows:
   device_pipeline_fps   device scan alone, wire buffer resident (execution
                         forced by fetching output bytes, not only
                         block_until_ready -- see device_probe_ms)
+  device_multistream_fps  S=4 independent streams, ONE vmapped scan
+                        (stream-parallel serving, parallel/streams.py)
   dense_28mbit_fps      pathological coefficient-dense stress stream
   streaming_latency_720p_ms   chunk-in -> decoded-frame-ready {p50, p95}
   mp2_frames_per_s      bit-exact C++ MP2 path
@@ -368,6 +370,33 @@ def device_rows(emit):
     np.asarray(fetch(r[2].y[-1, :1, :4]))
     emit('device_pipeline_bc_fps',
          round(32 * 10 / (time.monotonic() - t0), 2))
+    # stream-parallel serving row: S=4 independent 720p streams through
+    # ONE vmapped scan (parallel/streams.py).  Aggregate fps shows how
+    # much of the per-step fixed cost the stream batch amortizes vs
+    # S * device_pipeline_fps / S (the serial bound).
+    from jsmpeg_tpu.models.mpeg1 import (build_fused_buffer_sized,
+                                         fused_pair_bucket)
+    from jsmpeg_tpu.parallel.streams import decode_scan_fused_many
+    S = 4
+    n_pairs_m = fused_pair_bucket(len(batch['sp_pos']),
+                                  len(batch['sp_esc']))
+    bufm = build_fused_buffer_sized(batch, 32, n_pairs_m, n_runs,
+                                    seq.mb_size, mvw)
+    devm = jax.device_put(np.stack([bufm] * S))
+    zs = lambda hh, ww: jnp.zeros((S, hh, ww), dtype=jnp.uint8)
+    curm = Planes(zs(ch, cw), zs(ch >> 1, cw >> 1), zs(ch >> 1, cw >> 1))
+    kwm = dict(mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=32,
+               n_blk=n_blk, n_runs=n_runs,
+               band_halo=MPEG1Decoder._band_halo(batch), mv_wide=mvw)
+    r = decode_scan_fused_many(curm, curm, devm, iq, nq, **kwm)
+    np.asarray(fetch(r[2].y[-1, -1, :1, :4]))   # warm + force
+    t0 = time.monotonic()
+    for _ in range(10):
+        r = decode_scan_fused_many(curm, curm, devm, iq, nq, **kwm)
+    np.asarray(fetch(r[2].y[-1, -1, :1, :4]))
+    emit('device_multistream_fps',
+         {'streams': S,
+          'aggregate': round(S * 32 * 10 / (time.monotonic() - t0), 2)})
     # single-batch round-trip latency (dispatch + scan + 4-byte fetch)
     t0 = time.monotonic()
     for _ in range(3):
@@ -505,7 +534,7 @@ def _run_device_child():
     compile).  Returns (rows, error|None)."""
     attempts = int(os.environ.get('BENCH_DEVICE_ATTEMPTS', '3'))
     backoff = float(os.environ.get('BENCH_DEVICE_BACKOFF', '60'))
-    total_to = float(os.environ.get('BENCH_DEVICE_TIMEOUT', '2400'))
+    total_to = float(os.environ.get('BENCH_DEVICE_TIMEOUT', '3000'))
     init_to = float(os.environ.get('BENCH_DEVICE_INIT_TIMEOUT', '300'))
     last_err = None
     for attempt in range(attempts):

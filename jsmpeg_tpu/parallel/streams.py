@@ -1,0 +1,195 @@
+"""Stream-parallel decode on ONE chip: N independent MPEG1 streams ride
+a single vmapped scan.
+
+The reference player decodes exactly one stream per instance
+(/root/reference/src/player.js:27-55); production TPU serving wants many
+camera feeds per chip.  A single 720p stream's device rate is bounded by
+the SEQUENTIAL P-frame scan -- per-step fixed costs (masks, relayouts,
+dispatch) don't shrink with the work -- so decoding S streams as a
+[S, ...] batch through one `jax.vmap`'d scan amortizes those costs and
+fills the MXU with S frames of matmuls per step: aggregate throughput
+approaches S times the useful work per step long before S chips are
+needed.
+
+Mechanics: every stream parses on the host as usual; each joint batch
+builds one fused wire buffer per stream with SHARED static bucket sizes
+(max over streams, the mesh-cell trick from parallel/packed.py), stacks
+them [S, L], and dispatches ONE program.  Streams of unequal length ride
+their own per-frame valid masks (a finished stream's carry is preserved
+by the masked scan step), so nothing forces the feeds to stay in
+lockstep at EOF.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.mpeg1 import (MPEG1Decoder, _bucket, build_fused_buffer_sized,
+                            decode_scan_fused, fused_pair_bucket,
+                            mv_fits_narrow)
+from ..ops.frame import Planes
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'mb_h', 'mb_w', 'n_frames', 'n_blk', 'n_runs', 'band_halo', 'mv_wide',
+    'block_carry'))
+def decode_scan_fused_many(cur: Planes, fwd: Planes, bufs: jnp.ndarray,
+                           intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
+                           mb_h: int, mb_w: int, n_frames: int, n_blk: int,
+                           n_runs: int, band_halo=None,
+                           mv_wide: bool = False,
+                           block_carry: bool = False):
+    """Vmapped decode_scan_fused: cur/fwd planes are [S, H, W] stacks,
+    bufs is [S, L] (one fused wire buffer per stream, shared statics).
+    Returns (cur, fwd, outs) with a leading stream axis each."""
+    def one(c, f, b):
+        return decode_scan_fused.__wrapped__(
+            c, f, b, intra_q, non_intra_q, mb_h=mb_h, mb_w=mb_w,
+            n_frames=n_frames, n_blk=n_blk, n_runs=n_runs,
+            band_halo=band_halo, mv_wide=mv_wide, block_carry=block_carry)
+
+    return jax.vmap(one)(cur, fwd, bufs)
+
+
+def _merge_halo(halos):
+    """Join per-stream band halos: any unbounded stream unbounds the
+    joint dispatch; otherwise take the elementwise max window."""
+    if any(h is None for h in halos):
+        return None
+    return (max(h[0] for h in halos), max(h[1] for h in halos))
+
+
+class MultiStreamDecoder:
+    """Decode N same-resolution MPEG1 elementary streams jointly on one
+    device.  write(i, data) feeds stream i; decode_batch() dispatches one
+    joint vmapped batch and returns the newly decoded frames per stream.
+
+    All streams must share coded size and quant matrices (homogeneous
+    serving fleets do); the first stream's sequence header is the
+    contract and later headers are checked against it."""
+
+    def __init__(self, n_streams: int, batch_frames: int = 32):
+        from ..host import best_parser
+        self.n = n_streams
+        self.batch_frames = batch_frames
+        self.parsers = [best_parser() for _ in range(n_streams)]
+        self._carry = None          # (cur, fwd) Planes of [S, H, W]
+        self._seq = None
+
+    def write(self, i: int, data: bytes):
+        self.parsers[i].write(bytes(data))
+
+    def _check_seq(self):
+        seqs = [p.seq for p in self.parsers if p.seq is not None]
+        if not seqs:
+            return None
+        s0 = seqs[0]
+        for s in seqs[1:]:
+            if (s.coded_width, s.coded_height) != (s0.coded_width,
+                                                   s0.coded_height):
+                raise ValueError('multi-stream decode needs one resolution '
+                                 f'({s.coded_width}x{s.coded_height} vs '
+                                 f'{s0.coded_width}x{s0.coded_height})')
+            if (not np.array_equal(s.intra_quant_matrix,
+                                   s0.intra_quant_matrix)
+                    or not np.array_equal(s.non_intra_quant_matrix,
+                                          s0.non_intra_quant_matrix)):
+                raise ValueError('multi-stream decode needs shared quant '
+                                 'matrices')
+        self._seq = s0
+        return s0
+
+    def _zero_carry(self, seq):
+        cw, ch = seq.coded_width, seq.coded_height
+        z = lambda hh, ww: jnp.zeros((self.n, hh, ww), dtype=jnp.uint8)
+        p = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
+        return p, p
+
+    def decode_batch(self, eof: bool = False) -> Optional[List[Planes]]:
+        """Parse up to batch_frames per stream, dispatch one joint scan,
+        and return a per-stream Planes stack ([F_i, H, W] cropped to each
+        stream's real frame count; empty list for a stream with nothing
+        new).  None when no stream produced a frame."""
+        F = self.batch_frames
+        batches = []
+        for i, p in enumerate(self.parsers):
+            b = p.parse_batch(F, eof=eof)
+            if b == 'fallback' or (isinstance(b, dict) and b.get('n', 0)
+                                   and 'sp_pos' not in b):
+                raise RuntimeError(
+                    f'stream {i} needs the serial-exact path; decode it '
+                    'with its own MPEG1Decoder')
+            if not isinstance(b, dict):
+                b = dict(n=0)
+            batches.append(b)
+        seq = self._check_seq()
+        counts = [b.get('n', 0) for b in batches]
+        if seq is None or not any(counts):
+            return None
+        n_mb = seq.mb_size
+        empty = dict(n=0, run_len=np.zeros(0, np.uint16),
+                     run_flags=np.zeros(0, np.uint8),
+                     run_cbp=np.zeros(0, np.uint8),
+                     run_mv=np.zeros((0, 2), np.int16),
+                     sp_pos=np.zeros(0, np.uint8),
+                     sp_v8=np.zeros(0, np.int8),
+                     sp_esc=np.zeros(0, np.int16), n_blocks=0)
+        batches = [b if b.get('n', 0) else empty for b in batches]
+
+        # shared statics across streams (one jit variant), as mesh cells do
+        n_pairs = max(fused_pair_bucket(len(b['sp_pos']), len(b['sp_esc']))
+                      for b in batches)
+        n_runs = _bucket(max(max(len(b['run_len']) for b in batches), 1),
+                         lo=256)
+        n_blk = _bucket(max(max(b['n_blocks'] for b in batches), 1), lo=1024)
+        mv_wide = not all(mv_fits_narrow(b['run_mv']) for b in batches)
+        halo = _merge_halo([MPEG1Decoder._band_halo(b) for b in batches])
+
+        bufs = np.stack([
+            build_fused_buffer_sized(b, F, n_pairs, n_runs, n_mb, mv_wide)
+            for b in batches])
+        dev = jax.device_put(bufs)
+        if self._carry is None:
+            self._carry = self._zero_carry(seq)
+        iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
+        nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
+        cur, fwd, outs = decode_scan_fused_many(
+            self._carry[0], self._carry[1], dev, iq, nq,
+            mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
+            n_blk=n_blk, n_runs=n_runs, band_halo=halo, mv_wide=mv_wide)
+        self._carry = (cur, fwd)
+        return [Planes(outs.y[i, :c], outs.cr[i, :c], outs.cb[i, :c])
+                for i, c in enumerate(counts)]
+
+    def decode_all(self, eof: bool = True) -> List[List[Planes]]:
+        """Drain every stream: returns, per stream, the list of decoded
+        frames (full-resolution Planes)."""
+        frames: List[List[Planes]] = [[] for _ in range(self.n)]
+        while True:
+            outs = self.decode_batch(eof=eof)
+            if outs is None:
+                break
+            progressed = False
+            for i, st in enumerate(outs):
+                k = st.y.shape[0]
+                progressed = progressed or k > 0
+                for f in range(k):
+                    frames[i].append(Planes(st.y[f], st.cr[f], st.cb[f]))
+            if not progressed:
+                break
+        return frames
+
+
+def decode_streams_offline(streams: Sequence[bytes],
+                           batch_frames: int = 32) -> List[List[Planes]]:
+    """Convenience driver: jointly decode N elementary streams, returning
+    per-stream frame lists (test/library entry)."""
+    dec = MultiStreamDecoder(len(streams), batch_frames=batch_frames)
+    for i, es in enumerate(streams):
+        dec.write(i, es)
+    return dec.decode_all(eof=True)
