@@ -2,6 +2,7 @@
 
 Examples:
   python -m jsmpeg_tpu clip.ts -o out.y4m --wav out.wav
+  python -m jsmpeg_tpu cam0.ts cam1.ts cam2.ts -o out%d.y4m   # one chip, one scan
   python -m jsmpeg_tpu clip.ts --stats
   python -m jsmpeg_tpu tcp://localhost:8082 --seconds 10 -o live.y4m
   python -m jsmpeg_tpu --selftest
@@ -23,8 +24,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog='jsmpeg_tpu',
         description='TPU-native MPEG1/MP2 player & transcoder')
-    ap.add_argument('source', nargs='?',
-                    help='.ts path, tcp://host:port, or ws://host:port')
+    ap.add_argument('source', nargs='*',
+                    help='.ts path, tcp://host:port, or ws://host:port; '
+                         'several .ts paths decode jointly on one chip '
+                         '(stream-parallel batch, parallel/streams.py)')
     ap.add_argument('-o', '--y4m', help='write video to .y4m')
     ap.add_argument('--ppm', help='write frames as PPM files (pattern with %%d)')
     ap.add_argument('--wav', help='write audio to .wav')
@@ -60,6 +63,9 @@ def main(argv=None) -> int:
         return _selftest()
     if not args.source:
         ap.error('source required (or --selftest)')
+    if len(args.source) > 1:
+        return _multi(args)
+    args.source = args.source[0]
 
     from .player import Player
     from .sinks import (NullAudioSink, NullVideoSink, PPMWriter, WavWriter,
@@ -110,6 +116,67 @@ def main(argv=None) -> int:
             'stages': p.metrics.summary(),
         }
         print(json.dumps(stats))
+    return 0
+
+
+def _multi(args) -> int:
+    """Joint decode of several static .ts/.es inputs on one device (the
+    stream-parallel serving path).  Video only; -o names per-stream .y4m
+    outputs (a %d pattern, or an index is inserted before the suffix)."""
+    import numpy as np
+
+    from .demux import TSDemuxer
+    from .parallel.streams import MultiStreamDecoder
+    from .sinks import Y4MWriter
+
+    if args.wav or args.ppm:
+        raise SystemExit('multi-input decode is video-only (-o .y4m)')
+    paths = args.source
+    dec = MultiStreamDecoder(len(paths))
+    for i, path in enumerate(paths):
+        with open(path, 'rb') as f:
+            data = f.read()
+        es = bytearray()
+
+        class _Collect:
+            def write(self, pts, payload, _b=es):
+                if isinstance(payload, (bytes, bytearray, memoryview)):
+                    _b.extend(payload)
+                else:               # demuxer delivers buffer lists
+                    for p in payload:
+                        _b.extend(p)
+        dem = TSDemuxer()
+        dem.connect(0xE0, _Collect())
+        dem.write(data)
+        dem.flush()
+        # raw elementary streams pass through the demuxer empty
+        dec.write(i, bytes(es) if es else data)
+    t0 = time.monotonic()
+    frames = dec.decode_all(eof=True)
+    elapsed = time.monotonic() - t0
+    seq = dec._seq
+    total = 0
+    for i, path in enumerate(paths):
+        total += len(frames[i])
+        if not args.y4m:
+            continue
+        if '%d' in args.y4m:
+            out = args.y4m % i
+        else:
+            base, dot, ext = args.y4m.rpartition('.')
+            out = f'{base}.{i}.{ext}' if dot else f'{args.y4m}.{i}'
+        w = Y4MWriter(out, getattr(seq, 'frame_rate', 30.0) or 30.0)
+        w.resize(seq.width, seq.height)
+        for p in frames[i]:
+            w.render(np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
+        w.close()
+    print(json.dumps({
+        'streams': len(paths),
+        'video_frames': [len(f) for f in frames],
+        'seconds': round(elapsed, 3),
+        'aggregate_fps': round(total / elapsed, 2) if elapsed else 0,
+        'resolution': f'{seq.width}x{seq.height}' if seq else None,
+    }))
     return 0
 
 

@@ -53,3 +53,32 @@ def test_cli_offline_decode(clip, tmp_path):
     w = wave.open(str(wav))
     assert w.getnchannels() == 2
     assert w.getnframes() == 8 * 1152
+
+
+def test_cli_multi_input(clip, tmp_path):
+    """Two inputs decode jointly (stream-parallel batch) and each output
+    is byte-identical to the single-input offline decode."""
+    path, es = clip
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    from jsmpeg_tpu.testing.ts_mux import mux_video
+    es2, chunks = encode_test_stream(80, 48, n_frames=4, seed=77, gop=2,
+                                     frame_rate=25.0)
+    v = chunks[:-1]
+    v[-1] += chunks[-1]
+    other = tmp_path / 'other.ts'
+    other.write_bytes(mux_video(v, 25.0))
+    env = {'JAX_PLATFORMS': 'cpu', 'PATH': '/usr/bin:/bin',
+           'PYTHONPATH': '/root/repo', 'HOME': '/root'}
+    r = subprocess.run(
+        [sys.executable, '-m', 'jsmpeg_tpu', path, str(other),
+         '-o', str(tmp_path / 'm%d.y4m')],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"video_frames": [6, 4]' in r.stdout
+    r = subprocess.run(
+        [sys.executable, '-m', 'jsmpeg_tpu', path, '--no-audio',
+         '-o', str(tmp_path / 'solo.y4m'), '--offline'],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert ((tmp_path / 'm0.y4m').read_bytes()
+            == (tmp_path / 'solo.y4m').read_bytes())
