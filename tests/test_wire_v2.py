@@ -267,3 +267,34 @@ def test_sticky_buckets_bound_jit_variants():
         if b['n'] < 8:
             break
     assert 1 <= len(seen) <= 2, seen
+
+
+def test_fine_bucket_e2e_bit_exact():
+    """A batch crossing the 32k-slot fine-bucket threshold (the
+    eighth-octave n_pairs static actually engages) decodes bit-exactly
+    vs the oracle -- the small differential streams never reach it."""
+    from jsmpeg_tpu.models.mpeg1 import (MPEG1Decoder, _bucket,
+                                         build_fused_buffer, FINE_MIN)
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    from tests.oracle.ref_mpeg1 import OracleMPEG1
+    es, _ = encode_test_stream(320, 240, n_frames=6, seed=13, gop=3,
+                               qscale=8)
+    probe = MPEG1Decoder()
+    probe.write(0.0, es)
+    b = probe.parser.parse_batch(6, eof=True)
+    assert len(b['sp_pos']) > FINE_MIN          # fine path engages
+    *_, n_pairs, n_esc = build_fused_buffer(b, 6, probe.parser.seq.mb_size)
+    assert n_pairs != _bucket(len(b['sp_pos'])) or n_esc is not None
+
+    dec = MPEG1Decoder()
+    dec.write(0.0, es)
+    outs = dec.decode_available(eof=True)
+    golden = OracleMPEG1(es).decode_all()
+    assert len(outs) == len(golden) == 6
+    for i, (p, g) in enumerate(zip(outs, golden)):
+        np.testing.assert_array_equal(np.asarray(p.y), g[0],
+                                      err_msg=f'frame {i} y')
+        np.testing.assert_array_equal(np.asarray(p.cr), g[1],
+                                      err_msg=f'frame {i} cr')
+        np.testing.assert_array_equal(np.asarray(p.cb), g[2],
+                                      err_msg=f'frame {i} cb')
