@@ -158,7 +158,7 @@ def _multi(args) -> int:
     total = 0
     for i, path in enumerate(paths):
         total += len(frames[i])
-        if not args.y4m:
+        if not args.y4m or seq is None or not frames[i]:
             continue
         if '%d' in args.y4m:
             out = args.y4m % i

@@ -744,9 +744,12 @@ class MPEG1Decoder:
         self.wire_ids = bool(options.get('wire_ids'))
         # scan-carry layout experiment: carry reference planes in MB-block
         # layout (halves per-step uint8 relayouts; A/B'd on-chip before
-        # any default flip)
+        # any default flip).  Env value '0'/'false' means OFF so A/B
+        # scripts can toggle both ways.
+        env_bc = os.environ.get('JSMPEG_TPU_BLOCK_CARRY')
         self.block_carry = bool(options.get(
-            'block_carry', os.environ.get('JSMPEG_TPU_BLOCK_CARRY')))
+            'block_carry',
+            env_bc not in (None, '', '0', 'false', 'False')))
         self.buffer_size = options.get('videoBufferSize', 512 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0

@@ -58,10 +58,14 @@ def decode_scan_fused_many(cur: Planes, fwd: Planes, bufs: jnp.ndarray,
 
 def _merge_halo(halos):
     """Join per-stream band halos: any unbounded stream unbounds the
-    joint dispatch; otherwise take the elementwise max window."""
+    joint dispatch; otherwise take the elementwise max window.  bh == 0
+    is a SENTINEL (horizontal reach beyond the buckets -> full-width
+    columns, ops/motion.band_halo_for), so any zero wins over any max."""
     if any(h is None for h in halos):
         return None
-    return (max(h[0] for h in halos), max(h[1] for h in halos))
+    bh = (0 if any(h[1] == 0 for h in halos)
+          else max(h[1] for h in halos))
+    return (max(h[0] for h in halos), bh)
 
 
 class MultiStreamDecoder:
@@ -78,8 +82,13 @@ class MultiStreamDecoder:
         self.n = n_streams
         self.batch_frames = batch_frames
         self.parsers = [best_parser() for _ in range(n_streams)]
+        if not hasattr(self.parsers[0], 'parse_batch'):
+            raise RuntimeError('multi-stream decode needs the native '
+                               'packed parser (build_native)')
         self._carry = None          # (cur, fwd) Planes of [S, H, W]
         self._seq = None
+        self._sticky = {}           # shared static sizes across batches
+        self._quant = None
 
     def write(self, i: int, data: bytes):
         self.parsers[i].write(bytes(data))
@@ -141,13 +150,30 @@ class MultiStreamDecoder:
                      sp_esc=np.zeros(0, np.int16), n_blocks=0)
         batches = [b if b.get('n', 0) else empty for b in batches]
 
-        # shared statics across streams (one jit variant), as mesh cells do
-        n_pairs = max(fused_pair_bucket(len(b['sp_pos']), len(b['sp_esc']))
-                      for b in batches)
-        n_runs = _bucket(max(max(len(b['run_len']) for b in batches), 1),
-                         lo=256)
-        n_blk = _bucket(max(max(b['n_blocks'] for b in batches), 1), lo=1024)
-        mv_wide = not all(mv_fits_narrow(b['run_mv']) for b in batches)
+        # shared statics across streams (one jit variant), as mesh cells
+        # do, and monotone across batches: a smaller tail batch reuses
+        # the compiled variant instead of churning a new one (a serving
+        # decoder's shapes are bounded by its busiest batch)
+        def grow(key, val):
+            val = max(self._sticky.get(key, 0), val)
+            self._sticky[key] = val
+            return val
+
+        n_pairs = grow('pairs',
+                       max(fused_pair_bucket(len(b['sp_pos']),
+                                             len(b['sp_esc']))
+                           for b in batches))
+        n_runs = grow('runs',
+                      _bucket(max(max(len(b['run_len'])
+                                      for b in batches), 1), lo=256))
+        n_blk = grow('blk',
+                     _bucket(max(max(b['n_blocks'] for b in batches), 1),
+                             lo=1024))
+        # once a batch needed wide MV records, stay wide: correct for
+        # narrow batches and avoids a second compiled variant
+        mv_wide = (self._sticky.get('mv_wide', False)
+                   or not all(mv_fits_narrow(b['run_mv']) for b in batches))
+        self._sticky['mv_wide'] = mv_wide
         halo = _merge_halo([MPEG1Decoder._band_halo(b) for b in batches])
 
         bufs = np.stack([
@@ -156,8 +182,11 @@ class MultiStreamDecoder:
         dev = jax.device_put(bufs)
         if self._carry is None:
             self._carry = self._zero_carry(seq)
-        iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
-        nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
+        if self._quant is None:
+            self._quant = jax.device_put(
+                (jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32),
+                 jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)))
+        iq, nq = self._quant
         cur, fwd, outs = decode_scan_fused_many(
             self._carry[0], self._carry[1], dev, iq, nq,
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
@@ -172,16 +201,11 @@ class MultiStreamDecoder:
         frames: List[List[Planes]] = [[] for _ in range(self.n)]
         while True:
             outs = self.decode_batch(eof=eof)
-            if outs is None:
+            if outs is None:        # no stream produced a frame
                 break
-            progressed = False
             for i, st in enumerate(outs):
-                k = st.y.shape[0]
-                progressed = progressed or k > 0
-                for f in range(k):
+                for f in range(st.y.shape[0]):
                     frames[i].append(Planes(st.y[f], st.cr[f], st.cb[f]))
-            if not progressed:
-                break
         return frames
 
 

@@ -75,3 +75,28 @@ def test_mixed_resolution_rejected():
     dec.write(1, b)
     with pytest.raises(ValueError, match='one resolution'):
         dec.decode_batch(eof=True)
+
+
+def test_merge_halo_zero_sentinel():
+    """bh == 0 means 'horizontal reach beyond the buckets: full-width
+    columns' (ops/motion.band_halo_for) -- merging must preserve the
+    sentinel, not take the numeric max."""
+    from jsmpeg_tpu.parallel.streams import _merge_halo
+    assert _merge_halo([(32, 0), (32, 16)]) == (32, 0)
+    assert _merge_halo([(16, 16), (64, 32)]) == (64, 32)
+    assert _merge_halo([None, (32, 16)]) is None
+    assert _merge_halo([(32, 16)]) == (32, 16)
+
+
+def test_wide_mv_stream_joint_with_narrow():
+    """One f_code=5 stream (|mv| up to 255 half-pel: beyond int8 records
+    AND beyond the horizontal band buckets) jointly with a narrow
+    stream: the merged dispatch must keep full-width MC and wide
+    records, staying bit-exact vs serial decode of each."""
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    wide = encode_test_stream(192, 112, n_frames=6, seed=31, gop=3,
+                              f_code=5)[0]
+    narrow = encode_realistic_stream(192, 112, n_frames=6, seed=32,
+                                     gop=3)[0]
+    got = decode_streams_offline([wide, narrow], batch_frames=8)
+    _check([wide, narrow], got)
