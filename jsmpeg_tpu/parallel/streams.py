@@ -217,3 +217,61 @@ def decode_streams_offline(streams: Sequence[bytes],
     for i, es in enumerate(streams):
         dec.write(i, es)
     return dec.decode_all(eof=True)
+
+
+def decode_streams_mesh(streams: Sequence[bytes], mesh,
+                        f_code: int = 2) -> List[List[Planes]]:
+    """Serving fleet: decode N same-resolution streams over a device
+    mesh.  Every stream opens with an I-frame and its GOPs are closed
+    decode units, so the streams' GOP lists simply concatenate into the
+    mesh's `gop` rows (parallel/packed.py) -- stream boundaries coincide
+    with I-frame splits and each row scans from a zero carry.  Returns
+    per-stream frame lists, bit-exact vs decoding each stream alone."""
+    from ..host import best_parser
+    from .packed import MeshPackedDecoder, split_packed_frames
+
+    all_frames: List[dict] = []
+    bounds = [0]
+    seq0 = None
+    for si, es in enumerate(streams):
+        parser = best_parser()
+        parser.write(bytes(es))
+        if not hasattr(parser, 'parse_batch'):
+            raise RuntimeError('mesh stream decode needs the native parser')
+        while True:
+            b = parser.parse_batch(32, eof=True)
+            if b == 'fallback' or (isinstance(b, dict)
+                                   and 'sp_pos' not in b):
+                raise RuntimeError(
+                    f'stream {si} needs the serial-exact path')
+            if b is None:
+                break
+            all_frames.extend(split_packed_frames(b))
+            if b['n'] < 32:
+                break
+        bounds.append(len(all_frames))
+        seq = parser.seq
+        if seq0 is None:
+            seq0 = seq
+        elif (seq.coded_width, seq.coded_height) != (seq0.coded_width,
+                                                     seq0.coded_height):
+            raise ValueError('mesh stream decode needs one resolution')
+        elif (not np.array_equal(seq.intra_quant_matrix,
+                                 seq0.intra_quant_matrix)
+              or not np.array_equal(seq.non_intra_quant_matrix,
+                                    seq0.non_intra_quant_matrix)):
+            raise ValueError('mesh stream decode needs shared quant '
+                             'matrices')
+    if seq0 is None or not all_frames:
+        return [[] for _ in streams]
+
+    dec = MeshPackedDecoder(mesh, seq0, f_code=f_code)
+    outs, gl, _ = dec.decode(all_frames)
+    rows = seq0.mb_height * 16
+    flat = []
+    for gi, n in enumerate(gl):
+        for fi in range(n):
+            flat.append(Planes(outs.y[gi, fi][:rows],
+                               outs.cr[gi, fi][:rows >> 1],
+                               outs.cb[gi, fi][:rows >> 1]))
+    return [flat[bounds[i]:bounds[i + 1]] for i in range(len(streams))]

@@ -100,3 +100,18 @@ def test_wide_mv_stream_joint_with_narrow():
                                      gop=3)[0]
     got = decode_streams_offline([wide, narrow], batch_frames=8)
     _check([wide, narrow], got)
+
+
+def test_streams_over_mesh_bit_exact():
+    """Serving-fleet path: three streams' GOPs concatenated into the
+    gop rows of a 4x2 virtual mesh decode bit-exactly vs serial."""
+    import jax
+    from jsmpeg_tpu.parallel.mesh import make_mesh
+    from jsmpeg_tpu.parallel.streams import decode_streams_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip('needs the virtual 8-device mesh')
+    streams = [
+        encode_realistic_stream(192, 112, n_frames=n, seed=s, gop=4)[0]
+        for s, n in ((41, 8), (42, 5), (43, 9))]
+    got = decode_streams_mesh(streams, make_mesh(n_gop=4, n_tile=2))
+    _check(streams, got)
