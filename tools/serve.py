@@ -1,0 +1,147 @@
+"""Joint live serving: decode N live MPEG-TS feeds on one chip.
+
+Every feed (tcp://, ws://, http:// streaming, or a static .ts path)
+demuxes on the host and its pictures join ONE vmapped device scan
+(parallel/streams.py): per-stream valid masks let feeds run at unequal
+rates -- a stalled camera never blocks the batch -- and per-stream scan
+carries keep every feed bit-exact.  The reference's closest analog is N
+separate browser tabs; here N feeds share one chip's MXU.
+
+Usage:
+  python tools/serve.py tcp://h:p ws://h:p cam2.ts -o out%d.y4m \
+      [--batch 8] [--interval 0.05] [--seconds 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
+
+
+class _ESFeed:
+    """Demuxer video sink -> MultiStreamDecoder.write(i, ...)."""
+
+    def __init__(self, dec, i):
+        self.dec = dec
+        self.i = i
+
+    def write(self, pts, payload):
+        if isinstance(payload, (bytes, bytearray, memoryview)):
+            self.dec.write(self.i, payload)
+        else:
+            for p in payload:
+                self.dec.write(self.i, p)
+
+
+def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
+          stats_out=None):
+    import numpy as np
+
+    from jsmpeg_tpu.config import PlayerConfig
+    from jsmpeg_tpu.demux import TSDemuxer
+    from jsmpeg_tpu.parallel.streams import MultiStreamDecoder
+    from jsmpeg_tpu.player import make_source
+    from jsmpeg_tpu.sinks import Y4MWriter
+
+    n = len(urls)
+    dec = MultiStreamDecoder(n, batch_frames=batch)
+    cfg = PlayerConfig()
+    sources, demuxers = [], []
+    for i, url in enumerate(urls):
+        src = make_source(url, cfg)
+        dem = TSDemuxer()
+        dem.connect(0xE0, _ESFeed(dec, i))
+        src.connect(dem)
+        sources.append(src)
+        demuxers.append(dem)
+    for s in sources:
+        s.start()
+
+    writers = [None] * n
+    counts = [0] * n
+    t0 = time.monotonic()
+    deadline = t0 + seconds if seconds else None
+
+    def render(outs):
+        from jsmpeg_tpu.utils import fetch
+        for i, st in enumerate(outs):
+            k = st.y.shape[0]
+            if not k:
+                continue
+            counts[i] += k
+            if out_pattern is None:
+                continue
+            if writers[i] is None:
+                seq = dec._seq
+                writers[i] = Y4MWriter(
+                    out_pattern % i,
+                    getattr(seq, 'frame_rate', 30.0) or 30.0)
+                writers[i].resize(seq.width, seq.height)
+            for f in range(k):
+                writers[i].render(np.asarray(st.y[f]), np.asarray(st.cr[f]),
+                                  np.asarray(st.cb[f]))
+
+    try:
+        while deadline is None or time.monotonic() < deadline:
+            for s in sources:
+                if hasattr(s, 'drain'):
+                    s.drain()
+            outs = dec.decode_batch(eof=False)
+            if outs is None:
+                if all(getattr(s, 'completed', False) for s in sources):
+                    break
+                time.sleep(interval)
+            else:
+                render(outs)
+        # drain whatever the parsers still hold
+        for s in sources:
+            if hasattr(s, 'drain'):
+                s.drain()
+        while True:
+            outs = dec.decode_batch(eof=True)
+            if outs is None:
+                break
+            render(outs)
+    finally:
+        for s in sources:
+            s.destroy()
+        for w in writers:
+            if w is not None:
+                w.close()
+    elapsed = time.monotonic() - t0
+    stats = {
+        'streams': n,
+        'video_frames': counts,
+        'seconds': round(elapsed, 3),
+        'aggregate_fps': round(sum(counts) / elapsed, 2) if elapsed else 0,
+    }
+    print(json.dumps(stats), file=stats_out or sys.stdout, flush=True)
+    return stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description='joint live decode of N MPEG-TS feeds on one chip')
+    ap.add_argument('urls', nargs='+',
+                    help='tcp://h:p, ws://h:p, http(s)://, or .ts paths')
+    ap.add_argument('-o', dest='out', default=None,
+                    help='per-stream y4m pattern with %%d')
+    ap.add_argument('--batch', type=int, default=8,
+                    help='max frames per stream per joint dispatch')
+    ap.add_argument('--interval', type=float, default=0.05,
+                    help='idle poll interval (s)')
+    ap.add_argument('--seconds', type=float, default=None,
+                    help='stop after N seconds')
+    args = ap.parse_args(argv)
+    serve(args.urls, args.out, args.batch, args.interval, args.seconds)
+    return 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())
