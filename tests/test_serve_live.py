@@ -71,3 +71,43 @@ def test_joint_live_tcp_feeds(tmp_path):
             y = np.frombuffer(fr[:64 * 48], np.uint8).reshape(48, 64)
             np.testing.assert_array_equal(golden[k][0][:48, :64], y,
                                           err_msg=f's{i} f{k}')
+
+
+def test_serve_static_av_with_audio(tmp_path):
+    """Static A/V inputs through serve(): per-stream wav rides the host
+    MP2 path and matches a serial decode byte-for-byte."""
+    import sys
+    sys.path.insert(0, 'tools')
+    from serve import serve
+
+    from jsmpeg_tpu.models.mp2 import MP2Decoder
+    from jsmpeg_tpu.sinks import WavWriter
+    from jsmpeg_tpu.testing.mp2_enc import encode_stream as mp2_stream
+    from jsmpeg_tpu.testing.ts_mux import mux_av
+
+    paths = []
+    audio_es = []
+    for seed in (71, 72):
+        es, chunks = encode_test_stream(64, 48, n_frames=4, seed=seed,
+                                        gop=2)
+        aes, af = mp2_stream(5, seed=seed)
+        v = chunks[:-1]
+        v[-1] = v[-1] + chunks[-1]
+        p = tmp_path / f'in{seed}.ts'
+        p.write_bytes(mux_av(v, 25.0, af, 1152, 44100))
+        paths.append(str(p))
+        audio_es.append(aes)
+
+    stats = serve(paths, out_pattern=str(tmp_path / 'v%d.y4m'),
+                  wav_pattern=str(tmp_path / 'a%d.wav'), batch=4,
+                  interval=0.01, seconds=30.0)
+    assert stats['video_frames'] == [4, 4]
+    for i, aes in enumerate(audio_es):
+        ref_path = tmp_path / f'ref{i}.wav'
+        ad = MP2Decoder()
+        ad.connect(WavWriter(str(ref_path)))
+        ad.write(0.0, aes)
+        ad.decode_available()
+        ad.destination.close()
+        got = (tmp_path / f'a{i}.wav').read_bytes()
+        assert len(got) > 44 and got == ref_path.read_bytes(), f'wav {i}'

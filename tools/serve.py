@@ -40,23 +40,31 @@ class _ESFeed:
 
 
 def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
-          stats_out=None):
+          stats_out=None, wav_pattern=None):
     import numpy as np
 
     from jsmpeg_tpu.config import PlayerConfig
     from jsmpeg_tpu.demux import TSDemuxer
+    from jsmpeg_tpu.models.mp2 import MP2Decoder
     from jsmpeg_tpu.parallel.streams import MultiStreamDecoder
     from jsmpeg_tpu.player import make_source
-    from jsmpeg_tpu.sinks import Y4MWriter
+    from jsmpeg_tpu.sinks import WavWriter, Y4MWriter
 
     n = len(urls)
     dec = MultiStreamDecoder(n, batch_frames=batch)
     cfg = PlayerConfig()
-    sources, demuxers = [], []
+    sources, demuxers, audio = [], [], []
     for i, url in enumerate(urls):
         src = make_source(url, cfg)
         dem = TSDemuxer()
         dem.connect(0xE0, _ESFeed(dec, i))
+        if wav_pattern is not None:
+            # audio rides the host C++ MP2 path (>200x realtime/core):
+            # no reason to batch it on the device
+            ad = MP2Decoder({'streaming': True})
+            ad.connect(WavWriter(wav_pattern % i))
+            dem.connect(0xC0, ad)
+            audio.append(ad)
         src.connect(dem)
         sources.append(src)
         demuxers.append(dem)
@@ -92,6 +100,8 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
             for s in sources:
                 if hasattr(s, 'drain'):
                     s.drain()
+            for ad in audio:
+                ad.decode_available()
             outs = dec.decode_batch(eof=False)
             if outs is None:
                 if all(getattr(s, 'completed', False) for s in sources):
@@ -108,12 +118,17 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
             if outs is None:
                 break
             render(outs)
+        for ad in audio:
+            ad.decode_available()
     finally:
         for s in sources:
             s.destroy()
         for w in writers:
             if w is not None:
                 w.close()
+        for ad in audio:
+            if ad.destination is not None:
+                ad.destination.close()
     elapsed = time.monotonic() - t0
     stats = {
         'streams': n,
@@ -132,6 +147,8 @@ def main(argv=None):
                     help='tcp://h:p, ws://h:p, http(s)://, or .ts paths')
     ap.add_argument('-o', dest='out', default=None,
                     help='per-stream y4m pattern with %%d')
+    ap.add_argument('--wav', default=None,
+                    help='per-stream wav pattern with %%d (host MP2 path)')
     ap.add_argument('--batch', type=int, default=8,
                     help='max frames per stream per joint dispatch')
     ap.add_argument('--interval', type=float, default=0.05,
@@ -139,7 +156,8 @@ def main(argv=None):
     ap.add_argument('--seconds', type=float, default=None,
                     help='stop after N seconds')
     args = ap.parse_args(argv)
-    serve(args.urls, args.out, args.batch, args.interval, args.seconds)
+    serve(args.urls, args.out, args.batch, args.interval, args.seconds,
+          wav_pattern=args.wav)
     return 0
 
 
