@@ -115,3 +115,15 @@ def test_streams_over_mesh_bit_exact():
         for s, n in ((41, 8), (42, 5), (43, 9))]
     got = decode_streams_mesh(streams, make_mesh(n_gop=4, n_tile=2))
     _check(streams, got)
+
+
+def test_mixed_quant_matrices_rejected():
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    a = encode_test_stream(64, 48, n_frames=2, seed=1, gop=2)[0]
+    b = encode_test_stream(64, 48, n_frames=2, seed=2, gop=2,
+                           custom_matrices=True)[0]
+    dec = MultiStreamDecoder(2, batch_frames=4)
+    dec.write(0, a)
+    dec.write(1, b)
+    with pytest.raises(ValueError, match='quant'):
+        dec.decode_batch(eof=True)
