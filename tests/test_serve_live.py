@@ -111,3 +111,29 @@ def test_serve_static_av_with_audio(tmp_path):
         ad.destination.close()
         got = (tmp_path / f'a{i}.wav').read_bytes()
         assert len(got) > 44 and got == ref_path.read_bytes(), f'wav {i}'
+
+
+def test_stalled_feed_does_not_block(tmp_path):
+    """Head-of-line isolation: feed B sends one GOP then stalls; feed A
+    must still decode ALL its frames within the deadline."""
+    import sys
+    sys.path.insert(0, 'tools')
+    from serve import serve
+
+    es_a, ts_a = _clip(63)
+    _, ts_b = _clip(64)
+    pa, done_a = _tcp_server(ts_a, 0.004)
+    pb, _ = _tcp_server(ts_b[:400], 0.004)    # truncated: stalls forever
+
+    stats = serve([f'tcp://127.0.0.1:{pa}', f'tcp://127.0.0.1:{pb}'],
+                  out_pattern=str(tmp_path / 'hb%d.y4m'), batch=4,
+                  interval=0.02, seconds=5.0)
+    assert done_a.is_set()
+    assert stats['video_frames'][0] == 6, 'stalled feed blocked the batch'
+
+    golden = OracleMPEG1(es_a).decode_all()
+    data = (tmp_path / 'hb0.y4m').read_bytes()
+    frames = data.split(b'FRAME\n')[1:]
+    assert len(frames) == 6
+    y = np.frombuffer(frames[-1][:64 * 48], np.uint8).reshape(48, 64)
+    np.testing.assert_array_equal(golden[-1][0][:48, :64], y)
