@@ -37,13 +37,14 @@ from ..ops.frame import Planes
 
 @functools.partial(jax.jit, static_argnames=(
     'mb_h', 'mb_w', 'n_frames', 'n_blk', 'n_runs', 'band_halo', 'mv_wide',
-    'block_carry'))
+    'block_carry', 'wire_ids'))
 def decode_scan_fused_many(cur: Planes, fwd: Planes, bufs: jnp.ndarray,
                            intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                            mb_h: int, mb_w: int, n_frames: int, n_blk: int,
                            n_runs: int, band_halo=None,
                            mv_wide: bool = False,
-                           block_carry: bool = False):
+                           block_carry: bool = False,
+                           wire_ids: bool = False):
     """Vmapped decode_scan_fused: cur/fwd planes are [S, H, W] stacks,
     bufs is [S, L] (one fused wire buffer per stream, shared statics).
     Returns (cur, fwd, outs) with a leading stream axis each."""
@@ -51,7 +52,8 @@ def decode_scan_fused_many(cur: Planes, fwd: Planes, bufs: jnp.ndarray,
         return decode_scan_fused.__wrapped__(
             c, f, b, intra_q, non_intra_q, mb_h=mb_h, mb_w=mb_w,
             n_frames=n_frames, n_blk=n_blk, n_runs=n_runs,
-            band_halo=band_halo, mv_wide=mv_wide, block_carry=block_carry)
+            band_halo=band_halo, mv_wide=mv_wide, block_carry=block_carry,
+            wire_ids=wire_ids)
 
     return jax.vmap(one)(cur, fwd, bufs)
 
@@ -77,10 +79,18 @@ class MultiStreamDecoder:
     serving fleets do); the first stream's sequence header is the
     contract and later headers are checked against it."""
 
-    def __init__(self, n_streams: int, batch_frames: int = 32):
+    def __init__(self, n_streams: int, batch_frames: int = 32,
+                 wire_ids: bool = False, block_carry: bool = False):
         from ..host import best_parser
         self.n = n_streams
         self.batch_frames = batch_frames
+        # production tuning flags, same semantics as MPEG1Decoder's:
+        # wire_ids ships coded-block ids (+2 B/block) so the device skips
+        # the ordinal computation (worth it where H2D is cheap -- which
+        # serving hosts usually are); block_carry keeps the scan carry in
+        # MB-block layout (A/B'd on chip)
+        self.wire_ids = bool(wire_ids)
+        self.block_carry = bool(block_carry)
         self.parsers = [best_parser() for _ in range(n_streams)]
         if not hasattr(self.parsers[0], 'parse_batch'):
             raise RuntimeError('multi-stream decode needs the native '
@@ -177,7 +187,8 @@ class MultiStreamDecoder:
         halo = _merge_halo([MPEG1Decoder._band_halo(b) for b in batches])
 
         bufs = np.stack([
-            build_fused_buffer_sized(b, F, n_pairs, n_runs, n_mb, mv_wide)
+            build_fused_buffer_sized(b, F, n_pairs, n_runs, n_mb, mv_wide,
+                                     ids_blk=n_blk if self.wire_ids else 0)
             for b in batches])
         dev = jax.device_put(bufs)
         if self._carry is None:
@@ -190,7 +201,8 @@ class MultiStreamDecoder:
         cur, fwd, outs = decode_scan_fused_many(
             self._carry[0], self._carry[1], dev, iq, nq,
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
-            n_blk=n_blk, n_runs=n_runs, band_halo=halo, mv_wide=mv_wide)
+            n_blk=n_blk, n_runs=n_runs, band_halo=halo, mv_wide=mv_wide,
+            block_carry=self.block_carry, wire_ids=self.wire_ids)
         self._carry = (cur, fwd)
         return [Planes(outs.y[i, :c], outs.cr[i, :c], outs.cb[i, :c])
                 for i, c in enumerate(counts)]

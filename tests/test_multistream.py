@@ -127,3 +127,19 @@ def test_mixed_quant_matrices_rejected():
     dec.write(1, b)
     with pytest.raises(ValueError, match='quant'):
         dec.decode_batch(eof=True)
+
+
+@pytest.mark.parametrize('flags', [dict(wire_ids=True),
+                                   dict(block_carry=True),
+                                   dict(wire_ids=True, block_carry=True)])
+def test_tuning_flags_bit_exact(flags):
+    """The production tuning flags (wire_ids, block_carry) change only
+    wire/layout, never output."""
+    streams = [
+        encode_realistic_stream(160, 96, n_frames=7, seed=s, gop=4)[0]
+        for s in (21, 22)]
+    dec = MultiStreamDecoder(2, batch_frames=4, **flags)
+    for i, es in enumerate(streams):
+        dec.write(i, es)
+    got = dec.decode_all(eof=True)
+    _check(streams, got)
