@@ -40,7 +40,8 @@ class _ESFeed:
 
 
 def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
-          stats_out=None, wav_pattern=None):
+          stats_out=None, wav_pattern=None, wire_ids=False,
+          block_carry=False):
     import numpy as np
 
     from jsmpeg_tpu.config import PlayerConfig
@@ -51,7 +52,8 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
     from jsmpeg_tpu.sinks import WavWriter, Y4MWriter
 
     n = len(urls)
-    dec = MultiStreamDecoder(n, batch_frames=batch)
+    dec = MultiStreamDecoder(n, batch_frames=batch, wire_ids=wire_ids,
+                             block_carry=block_carry)
     cfg = PlayerConfig()
     sources, demuxers, audio = [], [], []
     for i, url in enumerate(urls):
@@ -155,9 +157,15 @@ def main(argv=None):
                     help='idle poll interval (s)')
     ap.add_argument('--seconds', type=float, default=None,
                     help='stop after N seconds')
+    ap.add_argument('--wire-ids', action='store_true',
+                    help='ship coded-block ids (+2 B/block; hosts with '
+                         'cheap H2D, i.e. most serving hosts)')
+    ap.add_argument('--block-carry', action='store_true',
+                    help='MB-block-layout scan carry (A/B on your chip)')
     args = ap.parse_args(argv)
     serve(args.urls, args.out, args.batch, args.interval, args.seconds,
-          wav_pattern=args.wav)
+          wav_pattern=args.wav, wire_ids=args.wire_ids,
+          block_carry=args.block_carry)
     return 0
 
 
