@@ -132,8 +132,8 @@ def _multi(args) -> int:
     if args.wav or args.ppm:
         raise SystemExit('multi-input decode is video-only (-o .y4m)')
     paths = args.source
-    dec = MultiStreamDecoder(len(paths))
-    for i, path in enumerate(paths):
+    streams = []
+    for path in paths:
         with open(path, 'rb') as f:
             data = f.read()
         es = bytearray()
@@ -150,11 +150,26 @@ def _multi(args) -> int:
         dem.write(data)
         dem.flush()
         # raw elementary streams pass through the demuxer empty
-        dec.write(i, bytes(es) if es else data)
+        streams.append(bytes(es) if es else data)
     t0 = time.monotonic()
-    frames = dec.decode_all(eof=True)
+    if args.mesh:
+        # serving fleet: streams' closed GOPs spread over the mesh's
+        # gop rows (parallel/streams.decode_streams_mesh)
+        from .parallel.mesh import resolve_mesh
+        from .parallel.streams import decode_streams_mesh
+        frames = decode_streams_mesh(streams, resolve_mesh(args.mesh))
+        probe = MultiStreamDecoder(1)
+        probe.write(0, streams[0])
+        probe.parsers[0].parse_batch(1, eof=True)
+        seq = probe.parsers[0].seq
+    else:
+        dec = MultiStreamDecoder(len(paths),
+                                 wire_ids=bool(args.wire_ids))
+        for i, es_b in enumerate(streams):
+            dec.write(i, es_b)
+        frames = dec.decode_all(eof=True)
+        seq = dec._seq
     elapsed = time.monotonic() - t0
-    seq = dec._seq
     total = 0
     for i, path in enumerate(paths):
         total += len(frames[i])

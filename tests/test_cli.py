@@ -82,3 +82,27 @@ def test_cli_multi_input(clip, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert ((tmp_path / 'm0.y4m').read_bytes()
             == (tmp_path / 'solo.y4m').read_bytes())
+
+
+def test_cli_multi_input_mesh(clip, tmp_path):
+    """Multi-input + --mesh: streams' GOPs spread over a virtual device
+    mesh, outputs identical to the single-chip joint decode."""
+    path, es = clip
+    env = {'JAX_PLATFORMS': 'cpu', 'PATH': '/usr/bin:/bin',
+           'PYTHONPATH': '/root/repo', 'HOME': '/root',
+           'XLA_FLAGS': '--xla_force_host_platform_device_count=8'}
+    r = subprocess.run(
+        [sys.executable, '-m', 'jsmpeg_tpu', path, path,
+         '--mesh', '4x2', '-o', str(tmp_path / 'mm%d.y4m')],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert '"video_frames": [6, 6]' in r.stdout
+    r2 = subprocess.run(
+        [sys.executable, '-m', 'jsmpeg_tpu', path, path,
+         '-o', str(tmp_path / 'sm%d.y4m')],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert ((tmp_path / 'mm0.y4m').read_bytes()
+            == (tmp_path / 'sm0.y4m').read_bytes())
+    assert ((tmp_path / 'mm1.y4m').read_bytes()
+            == (tmp_path / 'sm1.y4m').read_bytes())
