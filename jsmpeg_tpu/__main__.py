@@ -155,13 +155,13 @@ def _multi(args) -> int:
     if args.mesh:
         # serving fleet: streams' closed GOPs spread over the mesh's
         # gop rows (parallel/streams.decode_streams_mesh)
+        if args.wire_ids:
+            raise SystemExit('--wire-ids is a single-chip wire option; '
+                             'the mesh cell wire does not carry ids')
         from .parallel.mesh import resolve_mesh
         from .parallel.streams import decode_streams_mesh
-        frames = decode_streams_mesh(streams, resolve_mesh(args.mesh))
-        probe = MultiStreamDecoder(1)
-        probe.write(0, streams[0])
-        probe.parsers[0].parse_batch(1, eof=True)
-        seq = probe.parsers[0].seq
+        frames, seq = decode_streams_mesh(streams, resolve_mesh(args.mesh),
+                                          with_seq=True)
     else:
         dec = MultiStreamDecoder(len(paths),
                                  wire_ids=bool(args.wire_ids))

@@ -232,13 +232,16 @@ def decode_streams_offline(streams: Sequence[bytes],
 
 
 def decode_streams_mesh(streams: Sequence[bytes], mesh,
-                        f_code: int = 2) -> List[List[Planes]]:
+                        f_code: int = 2, with_seq: bool = False):
     """Serving fleet: decode N same-resolution streams over a device
     mesh.  Every stream opens with an I-frame and its GOPs are closed
     decode units, so the streams' GOP lists simply concatenate into the
     mesh's `gop` rows (parallel/packed.py) -- stream boundaries coincide
     with I-frame splits and each row scans from a zero carry.  Returns
-    per-stream frame lists, bit-exact vs decoding each stream alone."""
+    per-stream frame lists, bit-exact vs decoding each stream alone;
+    batches whose MV reach exceeds the tile halo fall back to the
+    single-chip vmapped joint decode (same off-mesh policy as the
+    Player's single-stream mesh path)."""
     from ..host import best_parser
     from .packed import MeshPackedDecoder, split_packed_frames
 
@@ -261,8 +264,18 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
             all_frames.extend(split_packed_frames(b))
             if b['n'] < 32:
                 break
+        if (len(all_frames) > bounds[-1]
+                and all_frames[bounds[-1]]['pic_type'] != 1):
+            # a mid-GOP join would motion-compensate against the
+            # PREVIOUS stream's last frame once concatenated; the vmapped
+            # path (per-stream carries) handles such feeds instead
+            raise ValueError(
+                f'stream {si} does not open with an I picture; decode it '
+                'with MultiStreamDecoder (per-stream carries)')
         bounds.append(len(all_frames))
         seq = parser.seq
+        if seq is None:
+            continue                      # stream produced no frames
         if seq0 is None:
             seq0 = seq
         elif (seq.coded_width, seq.coded_height) != (seq0.coded_width,
@@ -275,9 +288,15 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
             raise ValueError('mesh stream decode needs shared quant '
                              'matrices')
     if seq0 is None or not all_frames:
-        return [[] for _ in streams]
+        return ([[] for _ in streams], seq0) if with_seq \
+            else [[] for _ in streams]
 
     dec = MeshPackedDecoder(mesh, seq0, f_code=f_code)
+    if not dec.fits_mesh(all_frames):
+        # MV reach beyond the per-tile halo: off-mesh fallback, exactly
+        # like MPEG1Decoder's mesh path
+        result = decode_streams_offline(streams)
+        return (result, seq0) if with_seq else result
     outs, gl, _ = dec.decode(all_frames)
     rows = seq0.mb_height * 16
     flat = []
@@ -286,4 +305,5 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
             flat.append(Planes(outs.y[gi, fi][:rows],
                                outs.cr[gi, fi][:rows >> 1],
                                outs.cb[gi, fi][:rows >> 1]))
-    return [flat[bounds[i]:bounds[i + 1]] for i in range(len(streams))]
+    result = [flat[bounds[i]:bounds[i + 1]] for i in range(len(streams))]
+    return (result, seq0) if with_seq else result

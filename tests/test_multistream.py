@@ -143,3 +143,42 @@ def test_tuning_flags_bit_exact(flags):
         dec.write(i, es)
     got = dec.decode_all(eof=True)
     _check(streams, got)
+
+
+def test_mesh_wide_mv_falls_back_off_mesh():
+    """MV reach beyond the tile halo: decode_streams_mesh falls back to
+    the vmapped joint decode instead of raising (the Player's off-mesh
+    policy), staying bit-exact."""
+    import jax
+    from jsmpeg_tpu.parallel.mesh import make_mesh
+    from jsmpeg_tpu.parallel.streams import decode_streams_mesh
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    if len(jax.devices()) < 8:
+        pytest.skip('needs the virtual 8-device mesh')
+    wide = encode_test_stream(96, 64, n_frames=4, seed=35, gop=2,
+                              f_code=5)[0]
+    other = encode_realistic_stream(96, 64, n_frames=4, seed=36, gop=2)[0]
+    got = decode_streams_mesh([wide, other], make_mesh(n_gop=2, n_tile=4))
+    _check([wide, other], got)
+
+
+def test_mesh_rejects_mid_gop_join():
+    """A stream whose first picture is P would motion-compensate against
+    the previous stream's frames once concatenated -- rejected with a
+    pointer at the vmapped path."""
+    import jax
+    from jsmpeg_tpu.parallel.mesh import make_mesh
+    from jsmpeg_tpu.parallel.streams import decode_streams_mesh
+    from jsmpeg_tpu.host import best_parser
+    if len(jax.devices()) < 8:
+        pytest.skip('needs the virtual 8-device mesh')
+    es = encode_realistic_stream(96, 64, n_frames=6, seed=37, gop=3)[0]
+    # cut the second stream to start at its first P picture: drop
+    # everything through the first picture start code after the I
+    import re
+    starts = [m.start() for m in re.finditer(b'\x00\x00\x01\x00', es)]
+    assert len(starts) >= 2
+    headless = es[:starts[0]] + es[starts[1]:]   # headers + P-first
+    ok = encode_realistic_stream(96, 64, n_frames=3, seed=38, gop=3)[0]
+    with pytest.raises(ValueError, match='I picture'):
+        decode_streams_mesh([ok, headless], make_mesh(n_gop=2, n_tile=1))

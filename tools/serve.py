@@ -54,7 +54,10 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
     n = len(urls)
     dec = MultiStreamDecoder(n, batch_frames=batch, wire_ids=wire_ids,
                              block_carry=block_carry)
-    cfg = PlayerConfig()
+    # serving reads whole static files up front (no progressive Range
+    # throttle to resume()) and treats http:// as an endless chunked
+    # live body, matching the advertised feed kinds
+    cfg = PlayerConfig(progressive=False, streaming=True)
     sources, demuxers, audio = [], [], []
     for i, url in enumerate(urls):
         src = make_source(url, cfg)
@@ -93,9 +96,13 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
                     out_pattern % i,
                     getattr(seq, 'frame_rate', 30.0) or 30.0)
                 writers[i].resize(seq.width, seq.height)
+            # ONE readback per plane per stream (fetch bitcasts around the
+            # tunnel's slow u8 D2H path), then slice frames on the host
+            ys = np.asarray(fetch(st.y))
+            crs = np.asarray(fetch(st.cr))
+            cbs = np.asarray(fetch(st.cb))
             for f in range(k):
-                writers[i].render(np.asarray(st.y[f]), np.asarray(st.cr[f]),
-                                  np.asarray(st.cb[f]))
+                writers[i].render(ys[f], crs[f], cbs[f])
 
     try:
         while deadline is None or time.monotonic() < deadline:
