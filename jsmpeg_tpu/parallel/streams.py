@@ -80,10 +80,17 @@ class MultiStreamDecoder:
     contract and later headers are checked against it."""
 
     def __init__(self, n_streams: int, batch_frames: int = 32,
-                 wire_ids: bool = False, block_carry: bool = False):
+                 wire_ids: bool = False, block_carry: bool = False,
+                 streaming: bool = False,
+                 buffer_size: int = 512 * 1024):
         from ..host import best_parser
         self.n = n_streams
         self.batch_frames = batch_frames
+        # streaming=True applies the reference's EVICT-mode memory bound
+        # per stream (videoBufferSize semantics): a long-running serving
+        # process must not grow with hours of consumed bitstream
+        self.streaming = bool(streaming)
+        self.buffer_size = buffer_size
         # production tuning flags, same semantics as MPEG1Decoder's:
         # wire_ids ships coded-block ids (+2 B/block) so the device skips
         # the ordinal computation (worth it where H2D is cheap -- which
@@ -146,6 +153,17 @@ class MultiStreamDecoder:
             if not isinstance(b, dict):
                 b = dict(n=0)
             batches.append(b)
+            bits = getattr(p, 'bits', None)
+            if bits is not None:
+                # consumed bytes never re-read (no seek surface here)
+                bits.evict_consumed()
+                if self.streaming:
+                    unread = bits.byte_length - (bits.index >> 3)
+                    if unread > self.buffer_size:
+                        # emergency evac: stay current over complete
+                        # (reference src/buffer.js:30-62 EVICT mode)
+                        bits.index = bits.byte_length << 3
+                        bits.evict_consumed()
         seq = self._check_seq()
         counts = [b.get('n', 0) for b in batches]
         if seq is None or not any(counts):

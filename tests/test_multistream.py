@@ -182,3 +182,24 @@ def test_mesh_rejects_mid_gop_join():
     ok = encode_realistic_stream(96, 64, n_frames=3, seed=38, gop=3)[0]
     with pytest.raises(ValueError, match='I picture'):
         decode_streams_mesh([ok, headless], make_mesh(n_gop=2, n_tile=1))
+
+
+def test_parser_buffers_evict_consumed():
+    """Long-running serving must not grow with consumed bitstream: after
+    each joint batch the parsers' byte buffers shrink back to the unread
+    tail."""
+    es = encode_realistic_stream(160, 96, n_frames=24, seed=51, gop=4)[0]
+    dec = MultiStreamDecoder(2, batch_frames=4, streaming=True)
+    high_water = 0
+    for chunk_at in range(0, len(es), 4096):
+        for i in range(2):
+            dec.write(i, es[chunk_at:chunk_at + 4096])
+        dec.decode_batch()
+        for p in dec.parsers:
+            high_water = max(high_water,
+                             p.bits.byte_length - (p.bits.index >> 3) + 1)
+            # the retained buffer is bounded by unread + one evict cycle,
+            # not by total bytes ever written
+            assert p.bits.byte_length <= len(es) // 2, \
+                'buffer grew with consumed bytes'
+    dec.decode_batch(eof=True)

@@ -53,7 +53,7 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
 
     n = len(urls)
     dec = MultiStreamDecoder(n, batch_frames=batch, wire_ids=wire_ids,
-                             block_carry=block_carry)
+                             block_carry=block_carry, streaming=True)
     # serving reads whole static files up front (no progressive Range
     # throttle to resume()) and treats http:// as an endless chunked
     # live body, matching the advertised feed kinds
