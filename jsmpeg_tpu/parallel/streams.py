@@ -82,7 +82,8 @@ class MultiStreamDecoder:
     def __init__(self, n_streams: int, batch_frames: int = 32,
                  wire_ids: bool = False, block_carry: bool = False,
                  streaming: bool = False,
-                 buffer_size: int = 512 * 1024):
+                 buffer_size: int = 512 * 1024,
+                 quarantine: bool = False):
         from ..host import best_parser
         self.n = n_streams
         self.batch_frames = batch_frames
@@ -102,6 +103,12 @@ class MultiStreamDecoder:
         if not hasattr(self.parsers[0], 'parse_batch'):
             raise RuntimeError('multi-stream decode needs the native '
                                'packed parser (build_native)')
+        # quarantine=True (the serving posture) isolates a bad feed --
+        # quirk stream needing the serial path, resolution/quant mismatch
+        # -- instead of failing the whole joint batch; .dead[i] carries
+        # the reason and the other feeds keep decoding
+        self.quarantine = bool(quarantine)
+        self.dead: List[Optional[str]] = [None] * n_streams
         self._carry = None          # (cur, fwd) Planes of [S, H, W]
         self._seq = None
         self._sticky = {}           # shared static sizes across batches
@@ -111,22 +118,29 @@ class MultiStreamDecoder:
         self.parsers[i].write(bytes(data))
 
     def _check_seq(self):
-        seqs = [p.seq for p in self.parsers if p.seq is not None]
-        if not seqs:
-            return None
-        s0 = seqs[0]
-        for s in seqs[1:]:
+        s0 = self._seq
+        for i, p in enumerate(self.parsers):
+            s = p.seq
+            if s is None or self.dead[i]:
+                continue
+            if s0 is None:
+                s0 = s
+                continue
+            why = None
             if (s.coded_width, s.coded_height) != (s0.coded_width,
                                                    s0.coded_height):
-                raise ValueError('multi-stream decode needs one resolution '
-                                 f'({s.coded_width}x{s.coded_height} vs '
-                                 f'{s0.coded_width}x{s0.coded_height})')
-            if (not np.array_equal(s.intra_quant_matrix,
-                                   s0.intra_quant_matrix)
-                    or not np.array_equal(s.non_intra_quant_matrix,
-                                          s0.non_intra_quant_matrix)):
-                raise ValueError('multi-stream decode needs shared quant '
-                                 'matrices')
+                why = ('multi-stream decode needs one resolution '
+                       f'({s.coded_width}x{s.coded_height} vs '
+                       f'{s0.coded_width}x{s0.coded_height})')
+            elif (not np.array_equal(s.intra_quant_matrix,
+                                     s0.intra_quant_matrix)
+                  or not np.array_equal(s.non_intra_quant_matrix,
+                                        s0.non_intra_quant_matrix)):
+                why = 'multi-stream decode needs shared quant matrices'
+            if why:
+                if not self.quarantine:
+                    raise ValueError(why)
+                self.dead[i] = why
         self._seq = s0
         return s0
 
@@ -144,12 +158,15 @@ class MultiStreamDecoder:
         F = self.batch_frames
         batches = []
         for i, p in enumerate(self.parsers):
-            b = p.parse_batch(F, eof=eof)
+            b = None if self.dead[i] else p.parse_batch(F, eof=eof)
             if b == 'fallback' or (isinstance(b, dict) and b.get('n', 0)
                                    and 'sp_pos' not in b):
-                raise RuntimeError(
-                    f'stream {i} needs the serial-exact path; decode it '
-                    'with its own MPEG1Decoder')
+                why = (f'stream {i} needs the serial-exact path; decode '
+                       'it with its own MPEG1Decoder')
+                if not self.quarantine:
+                    raise RuntimeError(why)
+                self.dead[i] = why
+                b = None
             if not isinstance(b, dict):
                 b = dict(n=0)
             batches.append(b)
@@ -165,6 +182,10 @@ class MultiStreamDecoder:
                         bits.index = bits.byte_length << 3
                         bits.evict_consumed()
         seq = self._check_seq()
+        # a stream quarantined by the seq check this round may have
+        # parsed a batch in another geometry -- discard it
+        batches = [dict(n=0) if self.dead[i] else b
+                   for i, b in enumerate(batches)]
         counts = [b.get('n', 0) for b in batches]
         if seq is None or not any(counts):
             return None

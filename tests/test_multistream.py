@@ -203,3 +203,18 @@ def test_parser_buffers_evict_consumed():
             assert p.bits.byte_length <= len(es) // 2, \
                 'buffer grew with consumed bytes'
     dec.decode_batch(eof=True)
+
+
+def test_quarantine_isolates_bad_feed():
+    """Serving posture: a mismatched feed is quarantined with a reason
+    and the good feed keeps decoding bit-exactly."""
+    good = encode_realistic_stream(160, 96, n_frames=6, seed=55, gop=3)[0]
+    bad = encode_realistic_stream(192, 112, n_frames=4, seed=56, gop=2)[0]
+    dec = MultiStreamDecoder(2, batch_frames=4, quarantine=True)
+    dec.write(0, good)
+    dec.write(1, bad)
+    frames = dec.decode_all(eof=True)
+    assert dec.dead[0] is None
+    assert dec.dead[1] and 'resolution' in dec.dead[1]
+    assert len(frames[1]) == 0
+    _check([good], [frames[0]])

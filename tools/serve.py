@@ -53,7 +53,8 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
 
     n = len(urls)
     dec = MultiStreamDecoder(n, batch_frames=batch, wire_ids=wire_ids,
-                             block_carry=block_carry, streaming=True)
+                             block_carry=block_carry, streaming=True,
+                             quarantine=True)
     # serving reads whole static files up front (no progressive Range
     # throttle to resume()) and treats http:// as an endless chunked
     # live body, matching the advertised feed kinds
@@ -144,6 +145,7 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
         'video_frames': counts,
         'seconds': round(elapsed, 3),
         'aggregate_fps': round(sum(counts) / elapsed, 2) if elapsed else 0,
+        'dead': {i: why for i, why in enumerate(dec.dead) if why},
     }
     print(json.dumps(stats), file=stats_out or sys.stdout, flush=True)
     return stats
