@@ -7,6 +7,9 @@ Stages (in order of value):
   2. slopes           tools/profile_device.py scan/unpack/p2l slope rows
   3. dense            dense-stress e2e (on-chip confirmation of the 4.5x
                       CPU A/B from the frame-bucket fix)
+  4. streams          tools/profile_streams.py S in {1,2,4,8} aggregate
+                      (the serving amortization curve)
+  5. mc               tools/profile_mc.py formulation shootout
 
 Usage: python tools/campaign_r3.py [stages...]   (default: all)
 """
@@ -79,11 +82,27 @@ def stage_dense():
                        'stderr_tail': err[-500:] if rc else ''})
 
 
+def stage_streams():
+    rc, out, err, dt = run(
+        [sys.executable, 'tools/profile_streams.py'], 3600)
+    log_line('streams', {'rc': rc, 'dt_s': round(dt, 1),
+                         'out': out[-3000:],
+                         'stderr_tail': err[-500:] if rc else ''})
+
+
+def stage_mc():
+    rc, out, err, dt = run(
+        [sys.executable, 'tools/profile_mc.py'], 3600)
+    log_line('mc', {'rc': rc, 'dt_s': round(dt, 1), 'out': out[-3000:],
+                    'stderr_tail': err[-500:] if rc else ''})
+
+
 STAGES = {'bench': stage_bench, 'slopes': stage_slopes,
-          'dense': stage_dense}
+          'dense': stage_dense, 'streams': stage_streams,
+          'mc': stage_mc}
 
 if __name__ == '__main__':
-    want = sys.argv[1:] or ['bench', 'slopes', 'dense']
+    want = sys.argv[1:] or ['bench', 'slopes', 'dense', 'streams', 'mc']
     for name in want:
         try:
             STAGES[name]()
