@@ -76,8 +76,13 @@ class MultiStreamDecoder:
     joint vmapped batch and returns the newly decoded frames per stream.
 
     All streams must share coded size and quant matrices (homogeneous
-    serving fleets do); the first stream's sequence header is the
-    contract and later headers are checked against it."""
+    serving fleets do); the first sequence header to ARRIVE becomes the
+    fleet's geometry contract and later headers are checked against it
+    (raise by default; quarantine=True marks the mismatched feed dead
+    instead).  A stream whose batch cannot ride the joint packed wire
+    (coefficient-dense cap overflow, exactness fallback) is demoted to
+    its own serial-capable decoder and keeps decoding bit-exactly
+    outside the joint dispatch."""
 
     def __init__(self, n_streams: int, batch_frames: int = 32,
                  wire_ids: bool = False, block_carry: bool = False,
@@ -109,12 +114,21 @@ class MultiStreamDecoder:
         # the reason and the other feeds keep decoding
         self.quarantine = bool(quarantine)
         self.dead: List[Optional[str]] = [None] * n_streams
+        # streams demoted to their own serial-capable decoder (dense cap
+        # overflow / exactness fallback); index -> MPEG1Decoder
+        self._demoted: dict = {}
         self._carry = None          # (cur, fwd) Planes of [S, H, W]
         self._seq = None
         self._sticky = {}           # shared static sizes across batches
         self._quant = None
 
     def write(self, i: int, data: bytes):
+        if self.dead[i]:
+            return                      # dropped feed: do not buffer bytes
+        dec = self._demoted.get(i)
+        if dec is not None:
+            dec.write(0.0, data)        # demoted: its own caps/evict apply
+            return
         self.parsers[i].write(bytes(data))
 
     def _check_seq(self):
@@ -150,6 +164,35 @@ class MultiStreamDecoder:
         p = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
         return p, p
 
+    def _demote(self, i: int, pending: Optional[dict]) -> List[Planes]:
+        """Hand stream i to its own serial-capable MPEG1Decoder (its
+        batch hit a condition the joint packed wire cannot carry:
+        coefficient-dense cap overflow or the exactness fallback).  The
+        demoted decoder adopts the stream's PARSER (buffered bytes +
+        sequence state) and its scan carry, so not a frame is lost and
+        the stream keeps decoding bit-exactly -- just no longer inside
+        the joint dispatch.  Returns frames decoded from the pending
+        dense batch, if any."""
+        dec = MPEG1Decoder({'streaming': self.streaming,
+                            'wire_ids': self.wire_ids,
+                            'block_carry': self.block_carry})
+        dec.parser = self.parsers[i]
+        if self._carry is not None:
+            cur, fwd = self._carry
+            dec._cur = Planes(cur.y[i], cur.cr[i], cur.cb[i])
+            dec._fwd = Planes(fwd.y[i], fwd.cr[i], fwd.cb[i])
+        elif self.parsers[i].seq is not None:
+            dec._init_planes()          # demoted before any joint batch
+        dec.can_play = True
+        self._demoted[i] = dec
+        out = []
+        if pending is not None and pending.get('n', 0):
+            planes = dec._dispatch_batch(pending,
+                                         n_frames=pending['n'])
+            for k in range(pending['n']):
+                out.append(Planes(planes.y[k], planes.cr[k], planes.cb[k]))
+        return out
+
     def decode_batch(self, eof: bool = False) -> Optional[List[Planes]]:
         """Parse up to batch_frames per stream, dispatch one joint scan,
         and return a per-stream Planes stack ([F_i, H, W] cropped to each
@@ -157,16 +200,24 @@ class MultiStreamDecoder:
         new).  None when no stream produced a frame."""
         F = self.batch_frames
         batches = []
+        demoted_frames = {}
         for i, p in enumerate(self.parsers):
-            b = None if self.dead[i] else p.parse_batch(F, eof=eof)
+            if self.dead[i] or i in self._demoted:
+                batches.append(dict(n=0))
+                if i in self._demoted:
+                    fr = self._demoted[i].decode_available(eof=eof)
+                    demoted_frames[i] = list(fr or [])
+                continue
+            b = p.parse_batch(F, eof=eof)
             if b == 'fallback' or (isinstance(b, dict) and b.get('n', 0)
                                    and 'sp_pos' not in b):
-                why = (f'stream {i} needs the serial-exact path; decode '
-                       'it with its own MPEG1Decoder')
-                if not self.quarantine:
-                    raise RuntimeError(why)
-                self.dead[i] = why
-                b = None
+                # a per-stream condition the joint wire cannot carry:
+                # demote the stream to its own serial-capable decoder
+                # (bit-exact continuation) instead of failing the batch
+                demoted_frames[i] = self._demote(
+                    i, b if isinstance(b, dict) else None)
+                batches.append(dict(n=0))
+                continue
             if not isinstance(b, dict):
                 b = dict(n=0)
             batches.append(b)
@@ -187,8 +238,16 @@ class MultiStreamDecoder:
         batches = [dict(n=0) if self.dead[i] else b
                    for i, b in enumerate(batches)]
         counts = [b.get('n', 0) for b in batches]
-        if seq is None or not any(counts):
+        have_demoted = any(len(v) for v in demoted_frames.values())
+        if seq is None or (not any(counts) and not have_demoted):
             return None
+        if not any(counts):
+            # only demoted streams produced frames this round
+            z = lambda hh, ww: jnp.zeros((0, hh, ww), dtype=jnp.uint8)
+            cw, ch = seq.coded_width, seq.coded_height
+            result = [Planes(z(ch, cw), z(ch >> 1, cw >> 1),
+                             z(ch >> 1, cw >> 1)) for _ in range(self.n)]
+            return self._overlay_demoted(result, demoted_frames)
         n_mb = seq.mb_size
         empty = dict(n=0, run_len=np.zeros(0, np.uint16),
                      run_flags=np.zeros(0, np.uint8),
@@ -243,8 +302,18 @@ class MultiStreamDecoder:
             n_blk=n_blk, n_runs=n_runs, band_halo=halo, mv_wide=mv_wide,
             block_carry=self.block_carry, wire_ids=self.wire_ids)
         self._carry = (cur, fwd)
-        return [Planes(outs.y[i, :c], outs.cr[i, :c], outs.cb[i, :c])
-                for i, c in enumerate(counts)]
+        result = [Planes(outs.y[i, :c], outs.cr[i, :c], outs.cb[i, :c])
+                  for i, c in enumerate(counts)]
+        return self._overlay_demoted(result, demoted_frames)
+
+    @staticmethod
+    def _overlay_demoted(result, demoted_frames):
+        for i, lst in demoted_frames.items():
+            if lst:
+                result[i] = Planes(jnp.stack([p.y for p in lst]),
+                                   jnp.stack([p.cr for p in lst]),
+                                   jnp.stack([p.cb for p in lst]))
+        return result
 
     def decode_all(self, eof: bool = True) -> List[List[Planes]]:
         """Drain every stream: returns, per stream, the list of decoded
@@ -287,6 +356,7 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
     all_frames: List[dict] = []
     bounds = [0]
     seq0 = None
+    p_first = False
     for si, es in enumerate(streams):
         parser = best_parser()
         parser.write(bytes(es))
@@ -306,11 +376,9 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
         if (len(all_frames) > bounds[-1]
                 and all_frames[bounds[-1]]['pic_type'] != 1):
             # a mid-GOP join would motion-compensate against the
-            # PREVIOUS stream's last frame once concatenated; the vmapped
-            # path (per-stream carries) handles such feeds instead
-            raise ValueError(
-                f'stream {si} does not open with an I picture; decode it '
-                'with MultiStreamDecoder (per-stream carries)')
+            # PREVIOUS stream's last frame once concatenated; route the
+            # whole job to the vmapped path (per-stream carries)
+            p_first = True
         bounds.append(len(all_frames))
         seq = parser.seq
         if seq is None:
@@ -331,9 +399,11 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
             else [[] for _ in streams]
 
     dec = MeshPackedDecoder(mesh, seq0, f_code=f_code)
-    if not dec.fits_mesh(all_frames):
-        # MV reach beyond the per-tile halo: off-mesh fallback, exactly
-        # like MPEG1Decoder's mesh path
+    if p_first or not dec.fits_mesh(all_frames):
+        # MV reach beyond the per-tile halo, or a stream joining
+        # mid-GOP: single-chip vmapped fallback, exactly like
+        # MPEG1Decoder's off-mesh policy.  (This re-parses from bytes --
+        # acceptable on a fallback path; ~1,300 fps/core.)
         result = decode_streams_offline(streams)
         return (result, seq0) if with_seq else result
     outs, gl, _ = dec.decode(all_frames)

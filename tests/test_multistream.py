@@ -162,14 +162,13 @@ def test_mesh_wide_mv_falls_back_off_mesh():
     _check([wide, other], got)
 
 
-def test_mesh_rejects_mid_gop_join():
+def test_mesh_mid_gop_join_falls_back():
     """A stream whose first picture is P would motion-compensate against
-    the previous stream's frames once concatenated -- rejected with a
-    pointer at the vmapped path."""
+    the previous stream's frames once concatenated -- the job routes to
+    the vmapped path (per-stream carries), matching serial decode."""
     import jax
     from jsmpeg_tpu.parallel.mesh import make_mesh
     from jsmpeg_tpu.parallel.streams import decode_streams_mesh
-    from jsmpeg_tpu.host import best_parser
     if len(jax.devices()) < 8:
         pytest.skip('needs the virtual 8-device mesh')
     es = encode_realistic_stream(96, 64, n_frames=6, seed=37, gop=3)[0]
@@ -180,8 +179,8 @@ def test_mesh_rejects_mid_gop_join():
     assert len(starts) >= 2
     headless = es[:starts[0]] + es[starts[1]:]   # headers + P-first
     ok = encode_realistic_stream(96, 64, n_frames=3, seed=38, gop=3)[0]
-    with pytest.raises(ValueError, match='I picture'):
-        decode_streams_mesh([ok, headless], make_mesh(n_gop=2, n_tile=1))
+    got = decode_streams_mesh([ok, headless], make_mesh(n_gop=2, n_tile=1))
+    _check([ok, headless], got)
 
 
 def test_parser_buffers_evict_consumed():
@@ -198,9 +197,9 @@ def test_parser_buffers_evict_consumed():
         for p in dec.parsers:
             high_water = max(high_water,
                              p.bits.byte_length - (p.bits.index >> 3) + 1)
-            # the retained buffer is bounded by unread + one evict cycle,
-            # not by total bytes ever written
-            assert p.bits.byte_length <= len(es) // 2, \
+            # the retained buffer is bounded by the unread tail (+ the
+            # chunk just written), not by total bytes ever written
+            assert p.bits.byte_length <= high_water + 4096, \
                 'buffer grew with consumed bytes'
     dec.decode_batch(eof=True)
 
@@ -218,3 +217,34 @@ def test_quarantine_isolates_bad_feed():
     assert dec.dead[1] and 'resolution' in dec.dead[1]
     assert len(frames[1]) == 0
     _check([good], [frames[0]])
+
+
+def test_demotion_keeps_quirk_stream_decoding():
+    """A stream hitting the exactness fallback (escape-coded zero) is
+    demoted to its own serial-capable decoder mid-session: both streams
+    deliver ALL frames bit-exactly and neither is marked dead."""
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_quirk_leak import _escape_zero_stream
+    from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+    quirk = _escape_zero_stream(48, 32)
+    # a same-geometry clean stream (the quirk stream is 48x32 qscale=8)
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    clean = encode_test_stream(48, 32, n_frames=4, seed=61, gop=2,
+                               qscale=8)[0]
+    dec = MultiStreamDecoder(2, batch_frames=4, quarantine=True)
+    dec.write(0, clean)
+    dec.write(1, quirk)
+    frames = dec.decode_all(eof=True)
+    assert dec.dead == [None, None]
+    assert 1 in dec._demoted
+    ref_clean = OracleMPEG1(clean).decode_all()
+    ref_quirk = OracleMPEG1(quirk).decode_all()
+    assert len(frames[0]) == len(ref_clean)
+    assert len(frames[1]) == len(ref_quirk) == 2
+    for got, ref in ((frames[0], ref_clean), (frames[1], ref_quirk)):
+        for p, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(p.y), r[0])
+            np.testing.assert_array_equal(np.asarray(p.cr), r[1])
+            np.testing.assert_array_equal(np.asarray(p.cb), r[2])

@@ -105,6 +105,15 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
             for f in range(k):
                 writers[i].render(ys[f], crs[f], cbs[f])
 
+    reported_dead = set()
+
+    def report_dead():
+        for i, why in enumerate(dec.dead):
+            if why and i not in reported_dead:
+                reported_dead.add(i)
+                print(f'[serve] stream {i} ({urls[i]}) dropped: {why}',
+                      file=sys.stderr, flush=True)
+
     try:
         while deadline is None or time.monotonic() < deadline:
             for s in sources:
@@ -113,6 +122,11 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
             for ad in audio:
                 ad.decode_available()
             outs = dec.decode_batch(eof=False)
+            report_dead()
+            if all(dec.dead):
+                print('[serve] every stream is dead; exiting',
+                      file=sys.stderr, flush=True)
+                break
             if outs is None:
                 if all(getattr(s, 'completed', False) for s in sources):
                     break
