@@ -127,7 +127,8 @@ class MultiStreamDecoder:
             return                      # dropped feed: do not buffer bytes
         dec = self._demoted.get(i)
         if dec is not None:
-            dec.write(0.0, data)        # demoted: its own caps/evict apply
+            # pts=None: no timestamp collection (no seek surface here)
+            dec.write(None, data)       # demoted: its own caps/evict apply
             return
         self.parsers[i].write(bytes(data))
 
@@ -175,7 +176,8 @@ class MultiStreamDecoder:
         dense batch, if any."""
         dec = MPEG1Decoder({'streaming': self.streaming,
                             'wire_ids': self.wire_ids,
-                            'block_carry': self.block_carry})
+                            'block_carry': self.block_carry,
+                            'videoBufferSize': self.buffer_size})
         dec.parser = self.parsers[i]
         if self._carry is not None:
             cur, fwd = self._carry
@@ -201,6 +203,7 @@ class MultiStreamDecoder:
         F = self.batch_frames
         batches = []
         demoted_frames = {}
+        newly_demoted = False
         for i, p in enumerate(self.parsers):
             if self.dead[i] or i in self._demoted:
                 batches.append(dict(n=0))
@@ -216,6 +219,7 @@ class MultiStreamDecoder:
                 # (bit-exact continuation) instead of failing the batch
                 demoted_frames[i] = self._demote(
                     i, b if isinstance(b, dict) else None)
+                newly_demoted = True
                 batches.append(dict(n=0))
                 continue
             if not isinstance(b, dict):
@@ -233,13 +237,22 @@ class MultiStreamDecoder:
                         bits.index = bits.byte_length << 3
                         bits.evict_consumed()
         seq = self._check_seq()
-        # a stream quarantined by the seq check this round may have
-        # parsed a batch in another geometry -- discard it
+        # a stream quarantined by the seq check -- this round or earlier
+        # -- may have parsed (or demoted-decoded) in another geometry:
+        # discard its output and drop its demoted decoder
         batches = [dict(n=0) if self.dead[i] else b
                    for i, b in enumerate(batches)]
+        for i in list(self._demoted):
+            if self.dead[i]:
+                del self._demoted[i]
+                demoted_frames.pop(i, None)
         counts = [b.get('n', 0) for b in batches]
         have_demoted = any(len(v) for v in demoted_frames.values())
-        if seq is None or (not any(counts) and not have_demoted):
+        if seq is None or (not any(counts) and not have_demoted
+                           and not newly_demoted):
+            # a round that just demoted a stream returns an empty result
+            # instead of None: the demoted decoder may produce frames
+            # next round, so callers must not treat this as drained
             return None
         if not any(counts):
             # only demoted streams produced frames this round

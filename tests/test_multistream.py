@@ -248,3 +248,41 @@ def test_demotion_keeps_quirk_stream_decoding():
             np.testing.assert_array_equal(np.asarray(p.y), r[0])
             np.testing.assert_array_equal(np.asarray(p.cr), r[1])
             np.testing.assert_array_equal(np.asarray(p.cb), r[2])
+
+
+def test_single_quirk_stream_not_lost():
+    """A demotion in a round where NO other stream has frames must not
+    terminate decode_all early (the demoted stream's frames arrive on
+    the next round)."""
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_quirk_leak import _escape_zero_stream
+    from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+    quirk = _escape_zero_stream(48, 32)
+    got = decode_streams_offline([quirk], batch_frames=4)
+    ref = OracleMPEG1(quirk).decode_all()
+    assert len(got[0]) == len(ref) == 2
+    for p, r in zip(got[0], ref):
+        np.testing.assert_array_equal(np.asarray(p.y), r[0])
+
+
+def test_demoted_then_dead_purged():
+    """A feed that demotes first and later proves geometry-mismatched is
+    purged: no wrong-geometry frames leak into the fleet output."""
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_quirk_leak import _escape_zero_stream
+
+    fleet = encode_realistic_stream(160, 96, n_frames=4, seed=65, gop=2)[0]
+    rogue = _escape_zero_stream(48, 32)      # demotes AND mismatches
+    dec = MultiStreamDecoder(2, batch_frames=4, quarantine=True)
+    dec.write(0, rogue)       # rogue header arrives first...
+    dec.decode_batch()        # ...and demotes immediately
+    dec.write(1, fleet)
+    frames = dec.decode_all(eof=True)
+    # whichever geometry won the contract, no stream may emit frames of
+    # the OTHER geometry
+    shapes = {tuple(np.asarray(p.y).shape)
+              for fs in frames for p in fs}
+    assert len(shapes) <= 1, shapes

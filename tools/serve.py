@@ -113,6 +113,7 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
                 reported_dead.add(i)
                 print(f'[serve] stream {i} ({urls[i]}) dropped: {why}',
                       file=sys.stderr, flush=True)
+                sources[i].destroy()    # stop downloading a dead feed
 
     try:
         while deadline is None or time.monotonic() < deadline:
