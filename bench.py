@@ -370,6 +370,18 @@ def device_rows(emit):
     np.asarray(fetch(r[2].y[-1, :1, :4]))
     emit('device_pipeline_bc_fps',
          round(32 * 10 / (time.monotonic() - t0), 2))
+    # A/B: fused half-pel MC (taps folded into bf16 weight matrices, no
+    # combine_taps / B1 overhang; bit-exact, tests/test_motion_onehot.py).
+    # Same resident wire buffer, so the row isolates the device effect.
+    r = decode_scan_fused(cur, fwd, dev, iq, nq, mc_method='fused', **kw)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
+    t0 = time.monotonic()
+    for _ in range(10):
+        r = decode_scan_fused(cur, fwd, dev, iq, nq, mc_method='fused',
+                              **kw)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))
+    emit('device_pipeline_fmc_fps',
+         round(32 * 10 / (time.monotonic() - t0), 2))
     # stream-parallel serving row: S=4 independent 720p streams through
     # ONE vmapped scan (parallel/streams.py).  Aggregate fps shows how
     # much of the per-step fixed cost the stream batch amortizes vs

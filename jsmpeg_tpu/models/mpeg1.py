@@ -25,7 +25,8 @@ from ..ops.frame import FrameArrays, LevelsArrays, Planes, \
 
 def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
                      mb_h: int, mb_w: int, band_halo: int = None,
-                     carry_layout: str = 'plane'):
+                     carry_layout: str = 'plane',
+                     mc_method: str = None):
     """Shared lax.scan step for every levels-wire pipeline: dequant +
     IDCT + MC + assembly for one frame.  (A hand-scheduled Pallas
     dequant+IDCT alternative was measured slower than the XLA fusion and
@@ -34,7 +35,8 @@ def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
     fr = levels_to_frame(la, intra_q, non_intra_q)
     return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w,
                              band_halo=band_halo,
-                             carry_layout=carry_layout)
+                             carry_layout=carry_layout,
+                             mc_method=mc_method)
 
 
 def frame_to_arrays(f: FrameData, valid: bool = True) -> FrameArrays:
@@ -235,14 +237,14 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
                    static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
                                     'n_runs', 'band_halo', 'mv_wide',
                                     'wire_ids', 'block_carry', 'n_pairs',
-                                    'n_esc'))
+                                    'n_esc', 'mc_method'))
 def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                       mb_h: int, mb_w: int, n_frames: int, n_blk: int,
                       n_runs: int, band_halo: int = None,
                       mv_wide: bool = False, wire_ids: bool = False,
                       block_carry: bool = False, n_pairs: int = None,
-                      n_esc: int = None):
+                      n_esc: int = None, mc_method: str = None):
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links);
     see unpack_fused for the wire layout."""
@@ -251,7 +253,7 @@ def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
         n_blk if wire_ids else 0, n_pairs=n_pairs, n_esc=n_esc)
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk,
-                        band_halo, blk_dense, block_carry)
+                        band_halo, blk_dense, block_carry, mc_method)
 
 
 # coefficient-scatter segment size: XLA compile time for one big scatter
@@ -328,7 +330,8 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk',
-                                              'band_halo', 'block_carry'))
+                                              'band_halo', 'block_carry',
+                                              'mc_method'))
 def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        cbp: jnp.ndarray, mv16: jnp.ndarray,
                        sp_pos: jnp.ndarray, sp_val: jnp.ndarray,
@@ -336,7 +339,8 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        valid: jnp.ndarray, mb_h: int, mb_w: int, n_blk: int,
                        band_halo: int = None,
                        blk_dense: jnp.ndarray = None,
-                       block_carry: bool = False):
+                       block_carry: bool = False,
+                       mc_method: str = None):
     """Packed-wire pipeline: see packed_to_levels for the wire format.
 
     block_carry=True scans with the reference planes carried in MB-block
@@ -353,7 +357,8 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
         levels_scan_step, intra_q=intra_q,
         non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
         band_halo=band_halo,
-        carry_layout='block' if block_carry else 'plane')
+        carry_layout='block' if block_carry else 'plane',
+        mc_method=mc_method)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     if block_carry:
         cur = blocks_to_planes(cur, mb_h, mb_w)
@@ -368,12 +373,12 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
 
 def _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val, intra_q,
                  non_intra_q, valid, mb_h, mb_w, n_blk, band_halo=None,
-                 blk_dense=None, block_carry=False):
+                 blk_dense=None, block_carry=False, mc_method=None):
     return decode_scan_packed.__wrapped__(cur, fwd, flags, cbp, mv16,
                                           sp_pos, sp_val, intra_q,
                                           non_intra_q, valid, mb_h, mb_w,
                                           n_blk, band_halo, blk_dense,
-                                          block_carry)
+                                          block_carry, mc_method)
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
@@ -750,6 +755,12 @@ class MPEG1Decoder:
         self.block_carry = bool(options.get(
             'block_carry',
             env_bc not in (None, '', '0', 'false', 'False')))
+        # motion-compensation formulation override ('fused' folds the
+        # half-pel taps into bf16 weight matmuls, ops/motion.py; None =
+        # backend auto).  Bit-exact either way; A/B'd on-chip before any
+        # default flip.
+        self.mc_method = options.get(
+            'mc_method', os.environ.get('JSMPEG_TPU_MC') or None)
         self.buffer_size = options.get('videoBufferSize', 512 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0
@@ -1040,7 +1051,8 @@ class MPEG1Decoder:
             n_blk=staged['n_blk'], n_runs=staged['n_runs'],
             band_halo=staged['band_halo'], mv_wide=staged['mv_wide'],
             wire_ids=staged['wire_ids'], block_carry=self.block_carry,
-            n_pairs=staged.get('n_pairs'), n_esc=staged.get('n_esc'))
+            n_pairs=staged.get('n_pairs'), n_esc=staged.get('n_esc'),
+            mc_method=self.mc_method)
         return outs
 
     def _dispatch_batch(self, batch, n_frames=None, staged=None):

@@ -165,7 +165,8 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
                         mb_h: int, mb_w: int,
                         resid: jnp.ndarray = None,
                         band_halo=None,
-                        carry_layout: str = 'plane') -> Planes:
+                        carry_layout: str = 'plane',
+                        mc_method: str = None) -> Planes:
     """One picture: returns the decoded planes (the caller handles the
     current/forward rotation).  `resid` overrides the IDCT of f.coef with
     precomputed [n_mb, 6, 8, 8] residuals (the Pallas fused-kernel path);
@@ -215,6 +216,7 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     fwd_p = blocks_to_planes(fwd, mb_h, mb_w) if block_carry else fwd
     cur_b = cur if block_carry else planes_to_blocks(cur, mb_h, mb_w)
     pred_y = motion_compensate(fwd_p.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,
+                               method=mc_method,
                                band_halo=band_halo, layout='block')
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
@@ -222,8 +224,10 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     # was measured ~7 ms/batch SLOWER at 720p (PERF_ANALYSIS.md)
     # (the 5D einsum layouts worse than two 4D passes) and reverted.
     pred_cr = motion_compensate(fwd_p.cr, cmh, cmv, mb_h, mb_w, 8,
+                                method=mc_method,
                                 band_halo=halo_c, layout='block')
     pred_cb = motion_compensate(fwd_p.cb, cmh, cmv, mb_h, mb_w, 8,
+                                method=mc_method,
                                 band_halo=halo_c, layout='block')
 
     base_y = jnp.where(written_y, pred_y, cur_b.y.astype(jnp.int32))
@@ -240,7 +244,8 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
 
 def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int,
                       resid: jnp.ndarray = None, band_halo: int = None,
-                      carry_layout: str = 'plane'):
+                      carry_layout: str = 'plane',
+                      mc_method: str = None):
     """lax.scan step over the frames of a GOP.
 
     carry = (cur, fwd): `fwd` is the reference (last decoded I/P picture),
@@ -249,7 +254,8 @@ def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int,
     cur, fwd = carry
     out = decode_frame_planes(cur, fwd, f, mb_h, mb_w, resid=resid,
                               band_halo=band_halo,
-                              carry_layout=carry_layout)
+                              carry_layout=carry_layout,
+                              mc_method=mc_method)
 
     def keep(old, new):
         return jnp.where(f.valid, new, old)

@@ -278,6 +278,159 @@ def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
                  for p in range(P))
 
 
+def _fused_tap_weights(idx: jnp.ndarray, odd: jnp.ndarray,
+                       upper: int) -> jnp.ndarray:
+    """Two-tap half-pel weights as a bfloat16 selection matrix.
+
+    idx: int32 [..., block] first-tap source index (pre-clip); odd: bool
+    [...] half-pel parity.  Returns [..., block, upper] with weight 2 at
+    clip(idx) when the axis is full-pel, else weight 1 at each of
+    clip(idx) and clip(idx+1).  The per-axis total weight is always 2,
+    so the row and column matrices compose to a total weight of 4 and
+    ONE rounding formula covers all four parities (module docstring).
+    When both taps clip to the same edge index the two weight-1 hits add
+    to 2 -- exactly the a==b case of the reference's (a+b+1)>>1."""
+    ar = jnp.arange(upper, dtype=jnp.int32)
+    w0 = (jnp.clip(idx, 0, upper - 1)[..., None] == ar)
+    w1 = (jnp.clip(idx + 1, 0, upper - 1)[..., None] == ar)
+    odd_f = odd[..., None, None].astype(jnp.bfloat16)
+    return (w0.astype(jnp.bfloat16) * (2 - odd_f)
+            + w1.astype(jnp.bfloat16) * odd_f)
+
+
+def _mc_fused_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+                   mb_h: int, mb_w: int, block: int,
+                   band_v: int, band_h: int = 0,
+                   layout: str = 'plane') -> jnp.ndarray:
+    """Band-limited MC with the half-pel taps FOLDED INTO the one-hot
+    weights: column weights {2,1} and row weights {2,1} over (p - 128)
+    bfloat16 band values, so the two matmuls directly produce the
+    4-weighted tap sum and `combine_taps` (plus its int32 (B1)^2 window
+    materialization) disappears.  Output columns/rows are `block`, not
+    block+1, shrinking both contractions.
+
+    Exactness: band values are integers in [-128, 127] (exact bf16);
+    the column pass yields 2a' or a'+b' -- integers in [-256, 254], ALL
+    exactly representable in bfloat16 (|int| <= 256 needs <= 8
+    significand bits); the row pass accumulates in float32 where every
+    product (|x| <= 512) and 2-term sum (|x| <= 1020) is exact.  The
+    uniform total weight 4 makes `(res + 2 + 4*128) >> 2` reproduce the
+    reference rounding for every parity: (a+b+c+d+2)>>2, (2(a+b)+2)>>2
+    == (a+b+1)>>1, and (4a+2)>>2 == a (/root/reference/src/mpeg1.js:
+    459-687 semantics, same identity as the module docstring)."""
+    if band_h:
+        return _mc_fused_grouped_multi((ref,), mv_h, mv_v, mb_h, mb_w,
+                                       block, band_v, band_h, layout)[0]
+    H, W = ref.shape
+    assert band_v % block == 0
+    nwin = 2 * (band_v // block) + 1
+    band_rows = nwin * block
+
+    vy = jnp.right_shift(mv_v, 1).reshape(mb_h, mb_w)
+    vx = jnp.right_shift(mv_h, 1).reshape(mb_h, mb_w)
+    oy = (mv_v & 1).reshape(mb_h, mb_w).astype(bool)
+    ox = (mv_h & 1).reshape(mb_h, mb_w).astype(bool)
+
+    padded = jnp.concatenate([
+        jnp.repeat(ref[:1], band_v, axis=0), ref,
+        jnp.repeat(ref[-1:], band_v, axis=0)])
+    padded = (padded.astype(jnp.int16) - 128).astype(jnp.int8) \
+        .astype(jnp.bfloat16)
+    band = jnp.stack(
+        [padded[k * block:k * block + mb_h * block].reshape(mb_h, block, W)
+         for k in range(nwin)], axis=1).reshape(mb_h, band_rows, W)
+
+    taps = jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
+    w_c = _fused_tap_weights(base_c + vx[:, :, None] + taps, ox, W)
+    w_r = _fused_tap_weights(vy[:, :, None] + taps + band_v, oy, band_rows)
+
+    win_c = jnp.einsum('ahw,abcw->abhc', band, w_c,
+                       preferred_element_type=jnp.bfloat16)
+    res = jnp.einsum('abrh,abhc->abrc', w_r, win_c,
+                     preferred_element_type=jnp.float32)
+    pred = jnp.right_shift(res.astype(jnp.int32) + (2 + 4 * 128), 2)
+    if layout == 'block':
+        return pred
+    return pred.transpose(0, 2, 1, 3).reshape(mb_h * block, mb_w * block)
+
+
+def _mc_fused_grouped_multi(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+                            mb_h: int, mb_w: int, block: int,
+                            band_v: int, band_h: int,
+                            layout: str = 'plane'):
+    """Grouped-column variant of `_mc_fused_band` (same group geometry as
+    `_mc_grouped_multi`, same exactness argument as `_mc_fused_band`);
+    `refs` planes share the motion vectors and the weight matrices."""
+    P = len(refs)
+    H, W = refs[0].shape
+    assert band_v % block == 0
+    nwin = 2 * (band_v // block) + 1
+    band_rows = nwin * block
+    G = max(1, 128 // block)
+    n_grp = -(-mb_w // G)
+    mb_w_pad = n_grp * G
+    marg = band_h + block
+    span = G * block + 2 * marg
+    Wp = mb_w_pad * block + 2 * marg
+
+    def padg(grid, fill=0):
+        g = grid.reshape(mb_h, mb_w)
+        if mb_w_pad == mb_w:
+            return g
+        return jnp.pad(g, ((0, 0), (0, mb_w_pad - mb_w)),
+                       constant_values=fill)
+
+    vy = padg(jnp.right_shift(mv_v, 1))
+    vx = padg(jnp.right_shift(mv_h, 1))
+    oy = padg(mv_v & 1).astype(bool)
+    ox = padg(mv_h & 1).astype(bool)
+
+    def one_gband(ref):
+        padded = jnp.concatenate([
+            jnp.repeat(ref[:1], band_v, axis=0), ref,
+            jnp.repeat(ref[-1:], band_v, axis=0)])
+        padded = jnp.concatenate([
+            jnp.repeat(padded[:, :1], marg, axis=1), padded,
+            jnp.repeat(padded[:, -1:], Wp - W - marg, axis=1)], axis=1)
+        padded = (padded.astype(jnp.int16) - 128).astype(jnp.int8) \
+            .astype(jnp.bfloat16)
+        band = jnp.stack(
+            [padded[k * block:k * block + mb_h * block]
+             .reshape(mb_h, block, Wp) for k in range(nwin)],
+            axis=1).reshape(mb_h, band_rows, Wp)
+        return jnp.stack(
+            [band[:, :, g * G * block:g * G * block + span]
+             for g in range(n_grp)], axis=1)  # [mb_h, n_grp, rows, span]
+
+    gband = jnp.concatenate([one_gband(r) for r in refs], axis=1)
+
+    taps = jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    base_l = ((jnp.arange(mb_w_pad, dtype=jnp.int32) % G)
+              * block)[None, :, None]
+    cols = (base_l + vx[:, :, None] + taps + marg) \
+        .reshape(mb_h, n_grp, G, block)
+    w_c = _fused_tap_weights(cols, ox.reshape(mb_h, n_grp, G), span)
+    if P > 1:
+        w_c = jnp.concatenate([w_c] * P, axis=1)
+    w_r = _fused_tap_weights(vy[:, :, None] + taps + band_v, oy,
+                             band_rows)
+
+    win_c = jnp.einsum('aghw,agbcw->agbhc', gband, w_c,
+                       preferred_element_type=jnp.bfloat16)
+    win_c = win_c.reshape(mb_h, P, mb_w_pad, band_rows, block)
+    res = jnp.einsum('abrh,apbhc->apbrc', w_r, win_c,
+                     preferred_element_type=jnp.float32)
+    res = res[:, :, :mb_w]
+    preds = jnp.right_shift(res.astype(jnp.int32) + (2 + 4 * 128), 2)
+    if layout != 'block':
+        return tuple(
+            preds[:, p].transpose(0, 2, 1, 3).reshape(mb_h * block,
+                                                      mb_w * block)
+            for p in range(P))
+    return tuple(preds[:, p] for p in range(P))
+
+
 def band_halo_for(max_abs_mv: int, block: int = 16) -> int:
     """Smallest band halo (multiple of `block`) covering a batch's
     largest |vertical MV| in half-pel units (+1 row for the half-pel
@@ -302,7 +455,9 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     on accelerators."""
     if method is None:
         method = 'gather' if jax.default_backend() == 'cpu' else 'onehot'
-    if method == 'onehot':
+    if method in ('onehot', 'fused'):
+        banded = (_mc_fused_band if method == 'fused'
+                  else _mc_onehot_band)
         if band_halo:
             bv, bh = (band_halo if isinstance(band_halo, tuple)
                       else (band_halo, band_halo))
@@ -311,8 +466,10 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
             # branch); bv == 0 means no vertical bound -> full windows
             if bv and (bv < mb_h * block
                        or (bh and bh < mb_w * block)):
-                return _mc_onehot_band(ref, mv_h, mv_v, mb_h, mb_w, block,
-                                       bv, bh, layout)
+                return banded(ref, mv_h, mv_v, mb_h, mb_w, block,
+                              bv, bh, layout)
+        # no usable band: the full-window one-hot serves both methods
+        # (bit-identical results; 'fused' only exists as a banded form)
         return _mc_onehot(ref, mv_h, mv_v, mb_h, mb_w, block,
                           layout=layout)
     return _mc_gather(ref, mv_h, mv_v, mb_h, mb_w, block, layout=layout)

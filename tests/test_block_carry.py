@@ -53,3 +53,22 @@ def test_block_carry_streaming_single_frame():
         np.testing.assert_array_equal(np.asarray(fa.y), np.asarray(fb.y))
         np.testing.assert_array_equal(np.asarray(fa.cr), np.asarray(fb.cr))
         np.testing.assert_array_equal(np.asarray(fa.cb), np.asarray(fb.cb))
+
+
+@pytest.mark.parametrize('frames,gop', [(8, 4), (17, 8)])
+def test_fused_mc_bit_exact(frames, gop):
+    """mc_method='fused' (half-pel taps folded into bf16 weight matmuls,
+    ops/motion.py:_mc_fused_band) must be byte-identical through the full
+    packed pipeline, alone and combined with block_carry."""
+    es, _ = encode_realistic_stream(192, 112, n_frames=frames, seed=13,
+                                    gop=gop)
+    base_f, base_c = _decode_all(es)
+    for opts in ({'mc_method': 'fused'},
+                 {'mc_method': 'fused', 'block_carry': True}):
+        got_f, got_c = _decode_all(es, **opts)
+        assert len(base_f) == len(got_f) == frames
+        for a, b in zip(base_f, got_f):
+            for pa, pb in zip(a, b):
+                np.testing.assert_array_equal(pa, pb, err_msg=str(opts))
+        for ca, cb in zip(base_c, got_c):
+            np.testing.assert_array_equal(ca, cb, err_msg=str(opts))

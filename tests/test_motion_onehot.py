@@ -150,3 +150,84 @@ def test_tiled_mc_onehot_equals_gather(seed):
     a = np.asarray(_mc_tiled_gather(*args))
     b = np.asarray(_mc_tiled_onehot(*args))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_frame_mc_fused_band_equals_gather(seed):
+    """The fused half-pel formulation (taps folded into bf16 weight
+    matrices, ops/motion.py:_mc_fused_band) must equal the gather
+    formulation bit-for-bit under the same band guarantee."""
+    from jsmpeg_tpu.ops.motion import _mc_fused_band, band_halo_for
+    rng = np.random.default_rng(400 + seed)
+    mb_h = int(rng.integers(3, 7))
+    mb_w = int(rng.integers(2, 7))
+    block = int(rng.choice([8, 16]))
+    H, W = mb_h * block, mb_w * block
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    reach_v = int(rng.choice([7, 29, 61]))
+    reach_h = int(rng.choice([7, 29, 61]))
+    mv_h = rng.integers(-reach_h, reach_h + 1, mb_h * mb_w).astype(np.int32)
+    mv_v = rng.integers(-reach_v, reach_v + 1, mb_h * mb_w).astype(np.int32)
+    halo_v = band_halo_for(int(np.abs(mv_v).max()), block=block)
+    halo_h = band_halo_for(int(np.abs(mv_h).max()), block=block)
+    assert halo_v and halo_h
+    a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(mv_h),
+                              jnp.asarray(mv_v), mb_h, mb_w, block))
+    for band_h in (halo_h, 0):       # grouped and full-width-column forms
+        b = np.asarray(_mc_fused_band(jnp.asarray(ref), jnp.asarray(mv_h),
+                                      jnp.asarray(mv_v), mb_h, mb_w, block,
+                                      halo_v, band_h))
+        np.testing.assert_array_equal(a, b, err_msg=f'band_h={band_h}')
+
+
+def test_fused_grouped_wide_frame_and_block_layout():
+    """Multi-group geometry (mb_w > G) plus the block-layout output and
+    the multi-plane (chroma pair) form of the fused variant."""
+    from jsmpeg_tpu.ops.motion import (_mc_fused_band,
+                                       _mc_fused_grouped_multi)
+    rng = np.random.default_rng(11)
+    mb_h, mb_w, block = 3, 21, 16     # 21 MBs -> 3 groups of 8 (padded)
+    H, W = mb_h * block, mb_w * block
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    ref2 = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    mv_h = rng.integers(-63, 64, mb_h * mb_w).astype(np.int32)
+    mv_v = rng.integers(-31, 32, mb_h * mb_w).astype(np.int32)
+    a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(mv_h),
+                              jnp.asarray(mv_v), mb_h, mb_w, block))
+    b = np.asarray(_mc_fused_band(jnp.asarray(ref), jnp.asarray(mv_h),
+                                  jnp.asarray(mv_v), mb_h, mb_w, block,
+                                  32, 32))
+    np.testing.assert_array_equal(a, b)
+    # block layout == plane layout re-tiled
+    blk = np.asarray(_mc_fused_band(jnp.asarray(ref), jnp.asarray(mv_h),
+                                    jnp.asarray(mv_v), mb_h, mb_w, block,
+                                    32, 32, layout='block'))
+    np.testing.assert_array_equal(
+        a, blk.transpose(0, 2, 1, 3).reshape(H, W))
+    # chroma-pair form: both planes ride the shared weight matrices
+    pair = _mc_fused_grouped_multi(
+        (jnp.asarray(ref), jnp.asarray(ref2)), jnp.asarray(mv_h),
+        jnp.asarray(mv_v), mb_h, mb_w, block, 32, 32)
+    np.testing.assert_array_equal(a, np.asarray(pair[0]))
+    a2 = np.asarray(_mc_gather(jnp.asarray(ref2), jnp.asarray(mv_h),
+                               jnp.asarray(mv_v), mb_h, mb_w, block))
+    np.testing.assert_array_equal(a2, np.asarray(pair[1]))
+
+
+def test_fused_edge_clamp_corners():
+    """Extreme MVs drive both half-pel taps into the same clamped edge
+    index: the two weight-1 hits must add to weight 2 (the a==b case)."""
+    from jsmpeg_tpu.ops.motion import _mc_fused_band
+    rng = np.random.default_rng(12)
+    mb_h, mb_w, block = 4, 4, 16
+    H, W = mb_h * block, mb_w * block
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    for mv in (-2 * W - 1, -2 * W, 2 * W - 1, 2 * W, 127, -127):
+        mv_h = np.full(mb_h * mb_w, mv, np.int32)
+        mv_v = np.full(mb_h * mb_w, -mv, np.int32)
+        a = np.asarray(_mc_gather(jnp.asarray(ref), jnp.asarray(mv_h),
+                                  jnp.asarray(mv_v), mb_h, mb_w, block))
+        b = np.asarray(_mc_fused_band(
+            jnp.asarray(ref), jnp.asarray(mv_h), jnp.asarray(mv_v),
+            mb_h, mb_w, block, 8 * block, 8 * block))
+        np.testing.assert_array_equal(a, b, err_msg=str(mv))

@@ -4,6 +4,9 @@ Variants:
   band      current 1D row-band, full-W column one-hot (int8)
   grouped   row-band + grouped-column band: MBs grouped G per column
             chunk, one-hot spans the group window only
+  fused     half-pel taps folded into bf16 weight matrices (no
+            combine_taps, no B1 overhang): full-width and grouped forms
+            (ops/motion.py:_mc_fused_band)
 Checks bit-equality of every variant against the gather formulation
 on-device before timing.
 """
@@ -154,6 +157,16 @@ def main():
             r, h, v, MB_H, MB_W, 16, BV, BH, g), ref, mv_h, mv_v)
         print(f'grouped cols G={group:<3d}   luma {t:7.3f} ms/frame (slope)',
               flush=True)
+
+    from jsmpeg_tpu.ops.motion import _mc_fused_band
+    for bh, tag in ((0, 'fused (full-W cols)'), (BH, 'fused grouped     ')):
+        jf = jax.jit(lambda *a, b=bh: _mc_fused_band(*a, MB_H, MB_W, 16,
+                                                     BV, b))
+        got = np.asarray(jf(ref, mv_h, mv_v))
+        assert np.array_equal(want, got), f'fused bh={bh} mismatch'
+        t = slope_time(lambda r, h, v, b=bh: _mc_fused_band(
+            r, h, v, MB_H, MB_W, 16, BV, b), ref, mv_h, mv_v)
+        print(f'{tag}   luma {t:7.3f} ms/frame (slope)', flush=True)
 
 
 if __name__ == '__main__':
