@@ -37,14 +37,15 @@ from ..ops.frame import Planes
 
 @functools.partial(jax.jit, static_argnames=(
     'mb_h', 'mb_w', 'n_frames', 'n_blk', 'n_runs', 'band_halo', 'mv_wide',
-    'block_carry', 'wire_ids'))
+    'block_carry', 'wire_ids', 'mc_method'))
 def decode_scan_fused_many(cur: Planes, fwd: Planes, bufs: jnp.ndarray,
                            intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                            mb_h: int, mb_w: int, n_frames: int, n_blk: int,
                            n_runs: int, band_halo=None,
                            mv_wide: bool = False,
                            block_carry: bool = False,
-                           wire_ids: bool = False):
+                           wire_ids: bool = False,
+                           mc_method: str = None):
     """Vmapped decode_scan_fused: cur/fwd planes are [S, H, W] stacks,
     bufs is [S, L] (one fused wire buffer per stream, shared statics).
     Returns (cur, fwd, outs) with a leading stream axis each."""
@@ -53,7 +54,7 @@ def decode_scan_fused_many(cur: Planes, fwd: Planes, bufs: jnp.ndarray,
             c, f, b, intra_q, non_intra_q, mb_h=mb_h, mb_w=mb_w,
             n_frames=n_frames, n_blk=n_blk, n_runs=n_runs,
             band_halo=band_halo, mv_wide=mv_wide, block_carry=block_carry,
-            wire_ids=wire_ids)
+            wire_ids=wire_ids, mc_method=mc_method)
 
     return jax.vmap(one)(cur, fwd, bufs)
 
@@ -86,6 +87,7 @@ class MultiStreamDecoder:
 
     def __init__(self, n_streams: int, batch_frames: int = 32,
                  wire_ids: bool = False, block_carry: bool = False,
+                 mc_method: str = None,
                  streaming: bool = False,
                  buffer_size: int = 512 * 1024,
                  quarantine: bool = False):
@@ -104,6 +106,9 @@ class MultiStreamDecoder:
         # MB-block layout (A/B'd on chip)
         self.wire_ids = bool(wire_ids)
         self.block_carry = bool(block_carry)
+        # MC formulation override ('fused' = half-pel taps folded into
+        # bf16 weight matmuls, ops/motion.py; bit-exact either way)
+        self.mc_method = mc_method
         self.parsers = [best_parser() for _ in range(n_streams)]
         if not hasattr(self.parsers[0], 'parse_batch'):
             raise RuntimeError('multi-stream decode needs the native '
@@ -177,6 +182,7 @@ class MultiStreamDecoder:
         dec = MPEG1Decoder({'streaming': self.streaming,
                             'wire_ids': self.wire_ids,
                             'block_carry': self.block_carry,
+                            'mc_method': self.mc_method,
                             'videoBufferSize': self.buffer_size})
         dec.parser = self.parsers[i]
         if self._carry is not None:
@@ -313,7 +319,8 @@ class MultiStreamDecoder:
             self._carry[0], self._carry[1], dev, iq, nq,
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
             n_blk=n_blk, n_runs=n_runs, band_halo=halo, mv_wide=mv_wide,
-            block_carry=self.block_carry, wire_ids=self.wire_ids)
+            block_carry=self.block_carry, wire_ids=self.wire_ids,
+            mc_method=self.mc_method)
         self._carry = (cur, fwd)
         result = [Planes(outs.y[i, :c], outs.cr[i, :c], outs.cb[i, :c])
                   for i, c in enumerate(counts)]

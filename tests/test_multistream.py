@@ -131,10 +131,13 @@ def test_mixed_quant_matrices_rejected():
 
 @pytest.mark.parametrize('flags', [dict(wire_ids=True),
                                    dict(block_carry=True),
-                                   dict(wire_ids=True, block_carry=True)])
+                                   dict(wire_ids=True, block_carry=True),
+                                   dict(mc_method='fused'),
+                                   dict(mc_method='fused',
+                                        block_carry=True)])
 def test_tuning_flags_bit_exact(flags):
-    """The production tuning flags (wire_ids, block_carry) change only
-    wire/layout, never output."""
+    """The production tuning flags (wire_ids, block_carry, mc_method)
+    change only wire/layout/formulation, never output."""
     streams = [
         encode_realistic_stream(160, 96, n_frames=7, seed=s, gop=4)[0]
         for s in (21, 22)]

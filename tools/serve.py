@@ -41,7 +41,7 @@ class _ESFeed:
 
 def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
           stats_out=None, wav_pattern=None, wire_ids=False,
-          block_carry=False):
+          block_carry=False, mc_method=None):
     import numpy as np
 
     from jsmpeg_tpu.config import PlayerConfig
@@ -53,8 +53,8 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
 
     n = len(urls)
     dec = MultiStreamDecoder(n, batch_frames=batch, wire_ids=wire_ids,
-                             block_carry=block_carry, streaming=True,
-                             quarantine=True)
+                             block_carry=block_carry, mc_method=mc_method,
+                             streaming=True, quarantine=True)
     # serving reads whole static files up front (no progressive Range
     # throttle to resume()) and treats http:// as an endless chunked
     # live body, matching the advertised feed kinds
@@ -186,10 +186,14 @@ def main(argv=None):
                          'cheap H2D, i.e. most serving hosts)')
     ap.add_argument('--block-carry', action='store_true',
                     help='MB-block-layout scan carry (A/B on your chip)')
+    ap.add_argument('--mc', default=None,
+                    choices=['onehot', 'fused', 'gather'],
+                    help='motion-compensation formulation (bit-exact '
+                         'either way; A/B on your chip)')
     args = ap.parse_args(argv)
     serve(args.urls, args.out, args.batch, args.interval, args.seconds,
           wav_pattern=args.wav, wire_ids=args.wire_ids,
-          block_carry=args.block_carry)
+          block_carry=args.block_carry, mc_method=args.mc)
     return 0
 
 
