@@ -278,24 +278,33 @@ def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
                  for p in range(P))
 
 
-def _fused_tap_weights(idx: jnp.ndarray, odd: jnp.ndarray,
-                       upper: int) -> jnp.ndarray:
+def _fused_tap_weights_pair(idx0: jnp.ndarray, idx1: jnp.ndarray,
+                            odd: jnp.ndarray, upper: int) -> jnp.ndarray:
     """Two-tap half-pel weights as a bfloat16 selection matrix.
 
-    idx: int32 [..., block] first-tap source index (pre-clip); odd: bool
-    [...] half-pel parity.  Returns [..., block, upper] with weight 2 at
-    clip(idx) when the axis is full-pel, else weight 1 at each of
-    clip(idx) and clip(idx+1).  The per-axis total weight is always 2,
-    so the row and column matrices compose to a total weight of 4 and
-    ONE rounding formula covers all four parities (module docstring).
-    When both taps clip to the same edge index the two weight-1 hits add
-    to 2 -- exactly the a==b case of the reference's (a+b+1)>>1."""
+    idx0/idx1: int32 [..., block] tap source indices (callers apply
+    their own clamp geometry first; a final clip to [0, upper) is kept
+    as a guard); odd: bool [...] half-pel parity.  Returns
+    [..., block, upper] with weight 2 at idx0 when the axis is full-pel,
+    else weight 1 at each of idx0 and idx1.  The per-axis total weight
+    is always 2, so the row and column matrices compose to a total
+    weight of 4 and ONE rounding formula covers all four parities
+    (module docstring).  When both taps clamp to the same edge index the
+    two weight-1 hits add to 2 -- exactly the a==b case of the
+    reference's (a+b+1)>>1."""
     ar = jnp.arange(upper, dtype=jnp.int32)
-    w0 = (jnp.clip(idx, 0, upper - 1)[..., None] == ar)
-    w1 = (jnp.clip(idx + 1, 0, upper - 1)[..., None] == ar)
+    w0 = (jnp.clip(idx0, 0, upper - 1)[..., None] == ar)
+    w1 = (jnp.clip(idx1, 0, upper - 1)[..., None] == ar)
     odd_f = odd[..., None, None].astype(jnp.bfloat16)
     return (w0.astype(jnp.bfloat16) * (2 - odd_f)
             + w1.astype(jnp.bfloat16) * odd_f)
+
+
+def _fused_tap_weights(idx: jnp.ndarray, odd: jnp.ndarray,
+                       upper: int) -> jnp.ndarray:
+    """`_fused_tap_weights_pair` with the standard adjacent taps
+    (idx, idx + 1), both clamped to [0, upper)."""
+    return _fused_tap_weights_pair(idx, idx + 1, odd, upper)
 
 
 def _mc_fused_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,

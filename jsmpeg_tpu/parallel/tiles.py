@@ -84,7 +84,7 @@ def _exchange_halo(plane: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
 def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
               mb_h_local: int, mb_w: int, block: int, halo: int,
               row0: jnp.ndarray, total_rows: int,
-              layout: str = 'plane') -> jnp.ndarray:
+              layout: str = 'plane', mc_method: str = None) -> jnp.ndarray:
     """Motion compensation reading an extended (halo'd) reference slab.
 
     ref: int-or-uint8 [halo + rows_local + halo, W]; mv in this plane's
@@ -93,8 +93,13 @@ def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 
     Same formulation split as ops/motion.py: one-hot MXU matmuls on
     accelerators (arbitrary gathers cost ~5 ns/element on TPU), the
-    plain 4-tap gather on CPU."""
-    if jax.default_backend() == 'cpu':
+    plain 4-tap gather on CPU; mc_method='fused' selects the
+    weight-folded bf16 form (bit-exact either way)."""
+    if mc_method == 'fused':
+        return _mc_tiled_fused(ref, mv_h, mv_v, mb_h_local, mb_w, block,
+                               halo, row0, total_rows, layout)
+    if mc_method == 'gather' or (mc_method is None
+                                 and jax.default_backend() == 'cpu'):
         return _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local, mb_w, block,
                                 halo, row0, total_rows, layout)
     return _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local, mb_w, block,
@@ -214,10 +219,84 @@ def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
                         layout)
 
 
+def _mc_tiled_fused(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
+                    block: int, halo: int, row0, total_rows: int,
+                    layout: str = 'plane'):
+    """`_mc_tiled_onehot` with the half-pel taps folded into bf16 weight
+    matrices (ops/motion.py `_mc_fused_band` exactness argument; same
+    halo'd-slab clamp geometry as `_mc_tiled_onehot`: global-row clamp
+    composed into band indices per tap, edge-replicated columns)."""
+    from ..ops.motion import _fused_tap_weights_pair
+    W = mb_w * block
+    rows_local = mb_h_local * block
+    assert halo % block == 0
+    nwin = 2 * (halo // block) + 1
+    band_rows = nwin * block
+    G = max(1, 128 // block)
+    n_grp = -(-mb_w // G)
+    mb_w_pad = n_grp * G
+    marg = halo + block
+    span = G * block + 2 * marg
+    Wp = mb_w_pad * block + 2 * marg
+
+    def padg(grid, fill=0):
+        g = grid.reshape(mb_h_local, mb_w)
+        if mb_w_pad == mb_w:
+            return g
+        return jnp.pad(g, ((0, 0), (0, mb_w_pad - mb_w)),
+                       constant_values=fill)
+
+    vy = padg(jnp.right_shift(mv_v, 1))
+    vx = padg(jnp.right_shift(mv_h, 1))
+    oy = padg(mv_v & 1).astype(bool)
+    ox = padg(mv_h & 1).astype(bool)
+
+    extp = jnp.concatenate([
+        jnp.repeat(ref[:, :1], marg, axis=1), ref,
+        jnp.repeat(ref[:, -1:], Wp - W - marg, axis=1)], axis=1)
+    extp = (extp.astype(jnp.int16) - 128).astype(jnp.int8) \
+        .astype(jnp.bfloat16)
+    band = jnp.stack(
+        [extp[k * block:k * block + rows_local]
+         .reshape(mb_h_local, block, Wp) for k in range(nwin)],
+        axis=1).reshape(mb_h_local, band_rows, Wp)
+    gband = jnp.stack(
+        [band[:, :, g * G * block:g * G * block + span]
+         for g in range(n_grp)], axis=1)
+
+    base_r = (jnp.arange(mb_h_local, dtype=jnp.int32)
+              * block)[:, None, None]
+    taps = jnp.arange(block, dtype=jnp.int32)[None, None, :]
+
+    def band_row(tap_off):
+        rows_g = jnp.clip(base_r + row0 + vy[:, :, None] + taps + tap_off,
+                          0, total_rows - 1)         # frame-edge clamp
+        return jnp.clip(rows_g - row0 - base_r + halo, 0, band_rows - 1)
+
+    w_r = _fused_tap_weights_pair(band_row(0), band_row(1), oy, band_rows)
+    base_l = ((jnp.arange(mb_w_pad, dtype=jnp.int32) % G)
+              * block)[None, :, None]
+    cols0 = (base_l + vx[:, :, None] + taps + marg) \
+        .reshape(mb_h_local, n_grp, G, block)
+    w_c = _fused_tap_weights_pair(cols0, cols0 + 1,
+                                  ox.reshape(mb_h_local, n_grp, G), span)
+
+    win_c = jnp.einsum('aghw,agbcw->agbhc', gband, w_c,
+                       preferred_element_type=jnp.bfloat16)
+    win_c = win_c.reshape(mb_h_local, mb_w_pad, band_rows, block)
+    res = jnp.einsum('abrh,abhc->abrc', w_r, win_c,
+                     preferred_element_type=jnp.float32)
+    res = res[:, :mb_w]
+    pred = jnp.right_shift(res.astype(jnp.int32) + (2 + 4 * 128), 2)
+    if layout == 'block':
+        return pred
+    return pred.transpose(0, 2, 1, 3).reshape(rows_local, W)
+
+
 def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
                               mb_h_local: int, mb_w: int, halo_mb: int,
                               mb_h_total: int, axis: str = 'tile',
-                              resid=None) -> Planes:
+                              resid=None, mc_method: str = None) -> Planes:
     """Per-shard frame decode; `f` arrays hold this shard's MBs only."""
     tile_idx = jax.lax.axis_index(axis)
     row0_y = tile_idx.astype(jnp.int32) * (mb_h_local * 16)
@@ -246,13 +325,16 @@ def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
     ext_cb = _exchange_halo(fwd.cb, halo_c, axis)
 
     pred_y = _mc_tiled(ext_y, f.mv_h, f.mv_v, mb_h_local, mb_w, 16,
-                       halo_y, row0_y, mb_h_total * 16, layout='block')
+                       halo_y, row0_y, mb_h_total * 16, layout='block',
+                       mc_method=mc_method)
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
     pred_cr = _mc_tiled(ext_cr, cmh, cmv, mb_h_local, mb_w, 8,
-                        halo_c, row0_c, mb_h_total * 8, layout='block')
+                        halo_c, row0_c, mb_h_total * 8, layout='block',
+                        mc_method=mc_method)
     pred_cb = _mc_tiled(ext_cb, cmh, cmv, mb_h_local, mb_w, 8,
-                        halo_c, row0_c, mb_h_total * 8, layout='block')
+                        halo_c, row0_c, mb_h_total * 8, layout='block',
+                        mc_method=mc_method)
 
     base_y = jnp.where(written_y, pred_y,
                        _to_blocks(cur.y, mb_h_local, mb_w,
@@ -275,10 +357,12 @@ def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
 
 
 def _tiled_step(carry, f: FrameArrays, mb_h_local: int, mb_w: int,
-                halo_mb: int, mb_h_total: int, axis: str, resid=None):
+                halo_mb: int, mb_h_total: int, axis: str, resid=None,
+                mc_method: str = None):
     cur, fwd = carry
     out = decode_frame_planes_tiled(cur, fwd, f, mb_h_local, mb_w,
-                                    halo_mb, mb_h_total, axis, resid=resid)
+                                    halo_mb, mb_h_total, axis, resid=resid,
+                                    mc_method=mc_method)
 
     def keep(old, new):
         return jnp.where(f.valid, new, old)

@@ -231,3 +231,37 @@ def test_fused_edge_clamp_corners():
             jnp.asarray(ref), jnp.asarray(mv_h), jnp.asarray(mv_v),
             mb_h, mb_w, block, 8 * block, 8 * block))
         np.testing.assert_array_equal(a, b, err_msg=str(mv))
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_tiled_mc_fused_equals_gather(seed):
+    """The fused-weight tiled MC (parallel/tiles.py:_mc_tiled_fused) must
+    equal the tiled gather bit-for-bit over the halo'd slab, including
+    the global-row frame-edge clamp composed into band indices."""
+    from jsmpeg_tpu.parallel.tiles import _mc_tiled_fused
+    rng = np.random.default_rng(500 + seed)
+    mb_h_local = int(rng.integers(2, 5))
+    mb_w = int(rng.integers(2, 6))
+    block = int(rng.choice([8, 16]))
+    halo_mb = 2
+    halo = halo_mb * block
+    n_tiles = 3
+    total_rows = mb_h_local * block * n_tiles
+    tile = int(rng.integers(0, n_tiles))
+    row0 = jnp.int32(tile * mb_h_local * block)
+    W = mb_w * block
+    ext = rng.integers(0, 256,
+                       (halo + mb_h_local * block + halo, W)).astype(np.uint8)
+    reach = halo // 2
+    mv_h = rng.integers(-2 * reach, 2 * reach + 1,
+                        mb_h_local * mb_w).astype(np.int32)
+    mv_v = rng.integers(-2 * reach, 2 * reach + 1,
+                        mb_h_local * mb_w).astype(np.int32)
+    args = (jnp.asarray(ext), jnp.asarray(mv_h), jnp.asarray(mv_v),
+            mb_h_local, mb_w, block, halo, row0, total_rows)
+    a = np.asarray(_mc_tiled_gather(*args))
+    b = np.asarray(_mc_tiled_fused(*args))
+    np.testing.assert_array_equal(a, b)
+    blk = np.asarray(_mc_tiled_fused(*args, layout='block'))
+    np.testing.assert_array_equal(
+        a, blk.transpose(0, 2, 1, 3).reshape(mb_h_local * block, W))
