@@ -382,6 +382,19 @@ def device_rows(emit):
     np.asarray(fetch(r[2].y[-1, :1, :4]))
     emit('device_pipeline_fmc_fps',
          round(32 * 10 / (time.monotonic() - t0), 2))
+    # A/B: fused MC with the chroma planes paired through one shared
+    # weight build (re-asks round 2's rejected int8 pairing for the bf16
+    # fused form; bit-exact).
+    r = decode_scan_fused(cur, fwd, dev, iq, nq, mc_method='fused_pair',
+                          **kw)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
+    t0 = time.monotonic()
+    for _ in range(10):
+        r = decode_scan_fused(cur, fwd, dev, iq, nq,
+                              mc_method='fused_pair', **kw)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))
+    emit('device_pipeline_fmc2_fps',
+         round(32 * 10 / (time.monotonic() - t0), 2))
     # stream-parallel serving row: S=4 independent 720p streams through
     # ONE vmapped scan (parallel/streams.py).  Aggregate fps shows how
     # much of the per-step fixed cost the stream batch amortizes vs

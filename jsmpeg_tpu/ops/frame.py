@@ -215,20 +215,31 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     block_carry = carry_layout == 'block'
     fwd_p = blocks_to_planes(fwd, mb_h, mb_w) if block_carry else fwd
     cur_b = cur if block_carry else planes_to_blocks(cur, mb_h, mb_w)
+    mc_plane = ('fused' if mc_method == 'fused_pair' else mc_method)
     pred_y = motion_compensate(fwd_p.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,
-                               method=mc_method,
+                               method=mc_plane,
                                band_halo=band_halo, layout='block')
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
-    # NOTE: batching cr+cb through one concatenated contraction pair
-    # was measured ~7 ms/batch SLOWER at 720p (PERF_ANALYSIS.md)
-    # (the 5D einsum layouts worse than two 4D passes) and reverted.
-    pred_cr = motion_compensate(fwd_p.cr, cmh, cmv, mb_h, mb_w, 8,
-                                method=mc_method,
-                                band_halo=halo_c, layout='block')
-    pred_cb = motion_compensate(fwd_p.cb, cmh, cmv, mb_h, mb_w, 8,
-                                method=mc_method,
-                                band_halo=halo_c, layout='block')
+    # NOTE: batching cr+cb through one concatenated INT8 contraction pair
+    # was measured ~7 ms/batch SLOWER at 720p (PERF_ANALYSIS.md) (the 5D
+    # einsum layouts worse than two 4D passes) and reverted;
+    # mc_method='fused_pair' re-asks the question for the bf16 fused form
+    # (shared weight build, block-sized dims) -- A/B'd on chip, bit-exact
+    # either way.
+    if (mc_method == 'fused_pair' and halo_c and halo_c[0]
+            and halo_c[1]):
+        from .motion import _mc_fused_grouped_multi
+        pred_cr, pred_cb = _mc_fused_grouped_multi(
+            (fwd_p.cr, fwd_p.cb), cmh, cmv, mb_h, mb_w, 8,
+            halo_c[0], halo_c[1], layout='block')
+    else:
+        pred_cr = motion_compensate(fwd_p.cr, cmh, cmv, mb_h, mb_w, 8,
+                                    method=mc_plane,
+                                    band_halo=halo_c, layout='block')
+        pred_cb = motion_compensate(fwd_p.cb, cmh, cmv, mb_h, mb_w, 8,
+                                    method=mc_plane,
+                                    band_halo=halo_c, layout='block')
 
     base_y = jnp.where(written_y, pred_y, cur_b.y.astype(jnp.int32))
     base_cr = jnp.where(written_c, pred_cr, cur_b.cr.astype(jnp.int32))

@@ -64,7 +64,8 @@ def test_fused_mc_bit_exact(frames, gop):
                                     gop=gop)
     base_f, base_c = _decode_all(es)
     for opts in ({'mc_method': 'fused'},
-                 {'mc_method': 'fused', 'block_carry': True}):
+                 {'mc_method': 'fused', 'block_carry': True},
+                 {'mc_method': 'fused_pair'}):
         got_f, got_c = _decode_all(es, **opts)
         assert len(base_f) == len(got_f) == frames
         for a, b in zip(base_f, got_f):

@@ -133,6 +133,7 @@ def test_mixed_quant_matrices_rejected():
                                    dict(block_carry=True),
                                    dict(wire_ids=True, block_carry=True),
                                    dict(mc_method='fused'),
+                                   dict(mc_method='fused_pair'),
                                    dict(mc_method='fused',
                                         block_carry=True)])
 def test_tuning_flags_bit_exact(flags):

@@ -187,7 +187,7 @@ def main(argv=None):
     ap.add_argument('--block-carry', action='store_true',
                     help='MB-block-layout scan carry (A/B on your chip)')
     ap.add_argument('--mc', default=None,
-                    choices=['onehot', 'fused', 'gather'],
+                    choices=['onehot', 'fused', 'fused_pair', 'gather'],
                     help='motion-compensation formulation (bit-exact '
                          'either way; A/B on your chip)')
     args = ap.parse_args(argv)
