@@ -215,9 +215,9 @@ def measure_streaming_latency():
         spans.append(ts[prev:])
         prev = len(ts)
 
-    def run():
+    def run(inline=False):
         dem = TSDemuxer()
-        dec = MPEG1Decoder({'streaming': True})
+        dec = MPEG1Decoder({'streaming': True, 'inline_upload': inline})
         dem.connect(0xE0, dec)
         lats = []
         for ts_chunk in spans:
@@ -232,15 +232,27 @@ def measure_streaming_latency():
                 lats.append((time.monotonic() - t0) * 1000.0)
         return lats
 
+    def pcts(lats):
+        lats.sort()
+        if not lats:
+            return {'p50': float('nan'), 'p95': float('nan')}
+        return {'p50': round(lats[len(lats) // 2], 1),
+                'p95': round(lats[min(len(lats) - 1,
+                                      int(len(lats) * 0.95))], 1)}
+
     run()                               # compile warmup
     lats = []
     for _ in range(3):
         lats += run()
-    lats.sort()
-    if not lats:
-        return {'p50': float('nan'), 'p95': float('nan')}
-    return {'p50': round(lats[len(lats) // 2], 1),
-            'p95': round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 1)}
+    out = pcts(lats)
+    # A/B: inline upload (host buffer handed to the jitted call; PJRT
+    # folds the transfer into the dispatch -- fewer round trips on some
+    # transports)
+    lats_i = []
+    for _ in range(3):
+        lats_i += run(inline=True)
+    out['inline'] = pcts(lats_i)
+    return out
 
 
 def device_rows(emit):

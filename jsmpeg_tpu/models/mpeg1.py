@@ -761,6 +761,11 @@ class MPEG1Decoder:
         # default flip.
         self.mc_method = options.get(
             'mc_method', os.environ.get('JSMPEG_TPU_MC') or None)
+        # latency experiment: skip the explicit device_put and let the
+        # jitted call transfer the wire buffer (fewer transport round
+        # trips on some links; loses the feeder thread's overlap)
+        self.inline_upload = bool(options.get(
+            'inline_upload', os.environ.get('JSMPEG_TPU_INLINE_H2D')))
         self.buffer_size = options.get('videoBufferSize', 512 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0
@@ -1025,7 +1030,13 @@ class MPEG1Decoder:
             sticky = self._wire_sticky = {}
         buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
             batch, F, seq.mb_size, wire_ids=self.wire_ids, sticky=sticky)
-        if os.environ.get('JSMPEG_TPU_SYNC_H2D'):
+        if self.inline_upload:
+            # hand the host buffer straight to the jitted call: PJRT
+            # folds the transfer into the dispatch (latency A/B -- on
+            # some transports this saves a device_put round trip; the
+            # sustained pipeline prefers the feeder thread's overlap)
+            fut = self._ResolvedFuture(buf)
+        elif os.environ.get('JSMPEG_TPU_SYNC_H2D'):
             fut = self._ResolvedFuture(jax.device_put(buf))
         else:
             fut = self._h2d_pool().submit(jax.device_put, buf)
