@@ -119,6 +119,12 @@ def main(argv=None) -> int:
     return 0
 
 
+def _env_mc():
+    """JSMPEG_TPU_MC motion-compensation override for the multi-input
+    paths (single-input honors it inside MPEG1Decoder)."""
+    return os.environ.get('JSMPEG_TPU_MC') or None
+
+
 def _multi(args) -> int:
     """Joint decode of several static .ts/.es inputs on one device (the
     stream-parallel serving path).  Video only; -o names per-stream .y4m
@@ -161,10 +167,12 @@ def _multi(args) -> int:
         from .parallel.mesh import resolve_mesh
         from .parallel.streams import decode_streams_mesh
         frames, seq = decode_streams_mesh(streams, resolve_mesh(args.mesh),
-                                          with_seq=True)
+                                          with_seq=True,
+                                          mc_method=_env_mc())
     else:
         dec = MultiStreamDecoder(len(paths),
-                                 wire_ids=bool(args.wire_ids))
+                                 wire_ids=bool(args.wire_ids),
+                                 mc_method=_env_mc())
         for i, es_b in enumerate(streams):
             dec.write(i, es_b)
         frames = dec.decode_all(eof=True)

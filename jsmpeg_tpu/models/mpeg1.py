@@ -68,41 +68,47 @@ def stack_frames(frames: List[FrameArrays]) -> FrameArrays:
                          for name in FrameArrays._fields])
 
 
-@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w'))
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'mc_method'))
 def decode_one(cur: Planes, fwd: Planes, f: FrameArrays,
-               mb_h: int, mb_w: int):
-    (new_cur, new_fwd), out = decode_frame_step((cur, fwd), f, mb_h, mb_w)
+               mb_h: int, mb_w: int, mc_method: str = None):
+    (new_cur, new_fwd), out = decode_frame_step((cur, fwd), f, mb_h, mb_w,
+                                                mc_method=mc_method)
     return new_cur, new_fwd, out
 
 
-@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w'))
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'mc_method'))
 def decode_scan(cur: Planes, fwd: Planes, stacked: FrameArrays,
-                mb_h: int, mb_w: int):
+                mb_h: int, mb_w: int, mc_method: str = None):
     """Decode a stack of frames with the reference planes as scan carry."""
-    step = functools.partial(decode_frame_step, mb_h=mb_h, mb_w=mb_w)
+    step = functools.partial(decode_frame_step, mb_h=mb_h, mb_w=mb_w,
+                             mc_method=mc_method)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
 
-@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'band_halo'))
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'band_halo',
+                                             'mc_method'))
 def decode_scan_levels(cur: Planes, fwd: Planes, stacked: LevelsArrays,
                        intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
-                       mb_h: int, mb_w: int, band_halo: int = None):
+                       mb_h: int, mb_w: int, band_halo: int = None,
+                       mc_method: str = None):
     """Raw-levels pipeline: dequant+premultiply fused into the per-frame
     step (XLA fuses it with the IDCT), planes carried across the scan."""
 
     step = functools.partial(levels_scan_step, intra_q=intra_q,
                              non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
-                             band_halo=band_halo)
+                             band_halo=band_halo, mc_method=mc_method)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
 
-@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'band_halo'))
+@functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'band_halo',
+                                             'mc_method'))
 def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
                        sp_val: jnp.ndarray, rest: LevelsArrays,
                        intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
-                       mb_h: int, mb_w: int, band_halo: int = None):
+                       mb_h: int, mb_w: int, band_halo: int = None,
+                       mc_method: str = None):
     """Sparse-coefficient pipeline: (index, value) pairs scatter into the
     dense level lattice on device (bandwidth-bound hosts upload ~10x fewer
     bytes), then the raw-levels scan runs unchanged.  Padding entries carry
@@ -114,7 +120,7 @@ def decode_scan_sparse(cur: Planes, fwd: Planes, sp_idx: jnp.ndarray,
 
     step = functools.partial(levels_scan_step, intra_q=intra_q,
                              non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
-                             band_halo=band_halo)
+                             band_halo=band_halo, mc_method=mc_method)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 
@@ -763,9 +769,12 @@ class MPEG1Decoder:
             'mc_method', os.environ.get('JSMPEG_TPU_MC') or None)
         # latency experiment: skip the explicit device_put and let the
         # jitted call transfer the wire buffer (fewer transport round
-        # trips on some links; loses the feeder thread's overlap)
+        # trips on some links; loses the feeder thread's overlap).  Env
+        # value '0'/'false' means OFF, matching JSMPEG_TPU_BLOCK_CARRY.
+        env_ih = os.environ.get('JSMPEG_TPU_INLINE_H2D')
         self.inline_upload = bool(options.get(
-            'inline_upload', os.environ.get('JSMPEG_TPU_INLINE_H2D')))
+            'inline_upload',
+            env_ih not in (None, '', '0', 'false', 'False')))
         self.buffer_size = options.get('videoBufferSize', 512 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0
@@ -895,7 +904,8 @@ class MPEG1Decoder:
             arrays = jax.device_put(frame_to_arrays(fd))
             self._cur, self._fwd, out = decode_one(
                 self._cur, self._fwd, arrays,
-                mb_h=seq.mb_height, mb_w=seq.mb_width)
+                mb_h=seq.mb_height, mb_w=seq.mb_width,
+                mc_method=self.mc_method)
         self.advance_decoded_time(1.0 / self.frame_rate)
         self.frames_decoded += 1
         if self.streaming:
@@ -1100,14 +1110,16 @@ class MPEG1Decoder:
             self._cur, self._fwd, outs = decode_scan_sparse(
                 self._cur, self._fwd, sp_idx, sp_val, rest, iq, nq,
                 mb_h=seq.mb_height, mb_w=seq.mb_width,
-                band_halo=self._band_halo(batch))
+                band_halo=self._band_halo(batch),
+                mc_method=self.mc_method)
         else:
             stacked = LevelsArrays(levels=batch['levels'], **common)
             stacked = jax.device_put(stacked)
             self._cur, self._fwd, outs = decode_scan_levels(
                 self._cur, self._fwd, stacked, iq, nq,
                 mb_h=seq.mb_height, mb_w=seq.mb_width,
-                band_halo=self._band_halo(batch))
+                band_halo=self._band_halo(batch),
+                mc_method=self.mc_method)
         return outs
 
     def _decode_available_batch(self, eof: bool, outs_all: 'FrameSeq',
@@ -1181,8 +1193,11 @@ class MPEG1Decoder:
     def _mesh_decoder(self, mesh):
         from ..parallel.packed import MeshPackedDecoder
         md = getattr(self, '_mesh_dec', None)
-        if md is None or md.mesh is not mesh or md.seq is not self.parser.seq:
-            self._mesh_dec = md = MeshPackedDecoder(mesh, self.parser.seq)
+        if (md is None or md.mesh is not mesh
+                or md.seq is not self.parser.seq
+                or md.mc_method != self.mc_method):
+            self._mesh_dec = md = MeshPackedDecoder(
+                mesh, self.parser.seq, mc_method=self.mc_method)
         return md
 
     def _decode_available_mesh(self, mesh, eof: bool, release: bool):

@@ -227,12 +227,11 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     # mc_method='fused_pair' re-asks the question for the bf16 fused form
     # (shared weight build, block-sized dims) -- A/B'd on chip, bit-exact
     # either way.
-    if (mc_method == 'fused_pair' and halo_c and halo_c[0]
-            and halo_c[1]):
-        from .motion import _mc_fused_grouped_multi
-        pred_cr, pred_cb = _mc_fused_grouped_multi(
+    if mc_method == 'fused_pair':
+        from .motion import motion_compensate_multi
+        pred_cr, pred_cb = motion_compensate_multi(
             (fwd_p.cr, fwd_p.cb), cmh, cmv, mb_h, mb_w, 8,
-            halo_c[0], halo_c[1], layout='block')
+            method='fused', band_halo=halo_c, layout='block')
     else:
         pred_cr = motion_compensate(fwd_p.cr, cmh, cmv, mb_h, mb_w, 8,
                                     method=mc_plane,

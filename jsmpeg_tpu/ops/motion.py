@@ -192,26 +192,25 @@ def _mc_onehot_band_grouped(ref: jnp.ndarray, mv_h: jnp.ndarray,
                              band_v, band_h, layout)[0]
 
 
-def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
-                      mv_v: jnp.ndarray, mb_h: int, mb_w: int,
-                      block: int, band_v: int, band_h: int,
-                      layout: str = 'plane'):
-    """Row-band + grouped-column band: MBs group G per 128-pixel column
-    chunk and the column one-hot spans only the group's source window
-    (G*block + 2*(band_h + block) columns) instead of the full frame
-    width -- ~10x smaller one-hot materialization while the per-group
-    matmul stays MXU-shaped ([band_rows, span] x [span, G*B1], span
-    ~350 at 720p).  Edge-replicated padding in both axes IS the
-    frame-edge clamp; mb_w pads up to a multiple of G with zero-MV
-    dummy MBs whose outputs are sliced away.
+def _grouped_band_setup(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+                        mb_h: int, mb_w: int, block: int,
+                        band_v: int, band_h: int, dtype):
+    """Shared scaffolding of the grouped-column band variants (onehot and
+    fused): MBs group G per 128-pixel column chunk so the column
+    selection spans only the group's source window (G*block +
+    2*(band_h + block) columns) instead of the full frame width.
+    Edge-replicated padding in both axes IS the frame-edge clamp
+    (padded[i, j] == ref[clip(i - band_v, 0, H-1), clip(j - marg,
+    0, W-1)]); mb_w pads up to a multiple of G with zero-MV dummy MBs
+    whose outputs are sliced away by the caller.
 
-    `refs` is a tuple of same-shape planes sharing the motion vectors
-    (the two chroma planes): their group windows concatenate along the
-    group axis so the one-hots are built once and both planes ride the
-    same contractions.  Returns one prediction per ref."""
-    P = len(refs)
+    `refs` planes (same shape, shared motion vectors -- the two chroma
+    planes) concatenate their group windows along the group axis so the
+    selection matrices are built once and every plane rides the same
+    contractions.  Returns (gband [mb_h, P*n_grp, band_rows, span] in
+    `dtype`, vy, vx, oy, ox padded MV grids, and the geometry tuple
+    (band_rows, G, n_grp, mb_w_pad, marg, span))."""
     H, W = refs[0].shape
-    B1 = block + 1
     assert band_v % block == 0
     nwin = 2 * (band_v // block) + 1
     band_rows = nwin * block
@@ -235,15 +234,14 @@ def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
     ox = padg(mv_h & 1).astype(bool)
 
     def one_gband(ref):
-        # padded[i, j] == ref[clip(i - band_v, 0, H-1),
-        #                     clip(j - marg, 0, W-1)]
         padded = jnp.concatenate([
             jnp.repeat(ref[:1], band_v, axis=0), ref,
             jnp.repeat(ref[-1:], band_v, axis=0)])
         padded = jnp.concatenate([
             jnp.repeat(padded[:, :1], marg, axis=1), padded,
             jnp.repeat(padded[:, -1:], Wp - W - marg, axis=1)], axis=1)
-        padded = (padded.astype(jnp.int16) - 128).astype(jnp.int8)
+        padded = (padded.astype(jnp.int16) - 128).astype(jnp.int8) \
+            .astype(dtype)
         band = jnp.stack(
             [padded[k * block:k * block + mb_h * block]
              .reshape(mb_h, block, Wp) for k in range(nwin)],
@@ -253,6 +251,24 @@ def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
              for g in range(n_grp)], axis=1)  # [mb_h, n_grp, rows, span]
 
     gband = jnp.concatenate([one_gband(r) for r in refs], axis=1)
+    return gband, vy, vx, oy, ox, (band_rows, G, n_grp, mb_w_pad, marg,
+                                   span)
+
+
+def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
+                      mv_v: jnp.ndarray, mb_h: int, mb_w: int,
+                      block: int, band_v: int, band_h: int,
+                      layout: str = 'plane'):
+    """Row-band + grouped-column band one-hot MC (`_grouped_band_setup`
+    geometry): ~10x smaller one-hot materialization than the full-width
+    band while the per-group matmul stays MXU-shaped ([band_rows, span]
+    x [span, G*B1], span ~350 at 720p).  Returns one prediction per
+    ref, in [-128, 127]-biased int8 x int8 -> int32 exact arithmetic."""
+    P = len(refs)
+    B1 = block + 1
+    gband, vy, vx, oy, ox, \
+        (band_rows, G, n_grp, mb_w_pad, marg, span) = _grouped_band_setup(
+            refs, mv_h, mv_v, mb_h, mb_w, block, band_v, band_h, jnp.int8)
 
     taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
     rows = jnp.clip(vy[:, :, None] + taps + band_v, 0, band_rows - 1)
@@ -369,50 +385,14 @@ def _mc_fused_grouped_multi(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                             band_v: int, band_h: int,
                             layout: str = 'plane'):
     """Grouped-column variant of `_mc_fused_band` (same group geometry as
-    `_mc_grouped_multi`, same exactness argument as `_mc_fused_band`);
-    `refs` planes share the motion vectors and the weight matrices."""
+    `_mc_grouped_multi` via `_grouped_band_setup`, same exactness
+    argument as `_mc_fused_band`); `refs` planes share the motion
+    vectors and the weight matrices."""
     P = len(refs)
-    H, W = refs[0].shape
-    assert band_v % block == 0
-    nwin = 2 * (band_v // block) + 1
-    band_rows = nwin * block
-    G = max(1, 128 // block)
-    n_grp = -(-mb_w // G)
-    mb_w_pad = n_grp * G
-    marg = band_h + block
-    span = G * block + 2 * marg
-    Wp = mb_w_pad * block + 2 * marg
-
-    def padg(grid, fill=0):
-        g = grid.reshape(mb_h, mb_w)
-        if mb_w_pad == mb_w:
-            return g
-        return jnp.pad(g, ((0, 0), (0, mb_w_pad - mb_w)),
-                       constant_values=fill)
-
-    vy = padg(jnp.right_shift(mv_v, 1))
-    vx = padg(jnp.right_shift(mv_h, 1))
-    oy = padg(mv_v & 1).astype(bool)
-    ox = padg(mv_h & 1).astype(bool)
-
-    def one_gband(ref):
-        padded = jnp.concatenate([
-            jnp.repeat(ref[:1], band_v, axis=0), ref,
-            jnp.repeat(ref[-1:], band_v, axis=0)])
-        padded = jnp.concatenate([
-            jnp.repeat(padded[:, :1], marg, axis=1), padded,
-            jnp.repeat(padded[:, -1:], Wp - W - marg, axis=1)], axis=1)
-        padded = (padded.astype(jnp.int16) - 128).astype(jnp.int8) \
-            .astype(jnp.bfloat16)
-        band = jnp.stack(
-            [padded[k * block:k * block + mb_h * block]
-             .reshape(mb_h, block, Wp) for k in range(nwin)],
-            axis=1).reshape(mb_h, band_rows, Wp)
-        return jnp.stack(
-            [band[:, :, g * G * block:g * G * block + span]
-             for g in range(n_grp)], axis=1)  # [mb_h, n_grp, rows, span]
-
-    gband = jnp.concatenate([one_gband(r) for r in refs], axis=1)
+    gband, vy, vx, oy, ox, \
+        (band_rows, G, n_grp, mb_w_pad, marg, span) = _grouped_band_setup(
+            refs, mv_h, mv_v, mb_h, mb_w, block, band_v, band_h,
+            jnp.bfloat16)
 
     taps = jnp.arange(block, dtype=jnp.int32)[None, None, :]
     base_l = ((jnp.arange(mb_w_pad, dtype=jnp.int32) % G)
@@ -457,11 +437,14 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                       band_halo=None, layout: str = 'plane') -> jnp.ndarray:
     """ref: uint8 [H, W] reference plane; mv_*: int32 [n_mb] in this plane's
     half-pel units (chroma callers pass the /2-truncated vectors).
-    Returns int32 [H, W] prediction.  method: 'onehot' | 'gather' | None
-    (auto: onehot on accelerators, gather on CPU).  band_halo -- an int or
-    a (vertical, horizontal) tuple, static, multiples of block, covering
-    the data's true MV reach -- selects the cheap 2D band-limited one-hot
-    on accelerators."""
+    Returns int32 [H, W] prediction.  method: 'onehot' | 'fused' |
+    'gather' | None (auto: onehot on accelerators, gather on CPU);
+    'fused' folds the half-pel taps into bf16 weight matmuls
+    (`_mc_fused_band`, bit-exact) and degrades to the full-window
+    one-hot when no band is usable.  band_halo -- an int or a
+    (vertical, horizontal) tuple, static, multiples of block, covering
+    the data's true MV reach -- selects the cheap 2D band-limited
+    formulation on accelerators."""
     if method is None:
         method = 'gather' if jax.default_backend() == 'cpu' else 'onehot'
     if method in ('onehot', 'fused'):
@@ -482,6 +465,28 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
         return _mc_onehot(ref, mv_h, mv_v, mb_h, mb_w, block,
                           layout=layout)
     return _mc_gather(ref, mv_h, mv_v, mb_h, mb_w, block, layout=layout)
+
+
+def motion_compensate_multi(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
+                            mb_h: int, mb_w: int, block: int,
+                            method: str = None, band_halo=None,
+                            layout: str = 'plane'):
+    """Motion-compensate several same-shape planes sharing one MV field
+    (the two chroma planes).  With method='fused' and a usable 2D band
+    (same usefulness guard as `motion_compensate`: the band must be
+    smaller than the plane) the planes share one weight build and ride
+    concatenated contractions (`_mc_fused_grouped_multi`); otherwise
+    each plane falls back through `motion_compensate` -- bit-identical
+    either way.  Returns one prediction per ref."""
+    if method == 'fused' and band_halo:
+        bv, bh = (band_halo if isinstance(band_halo, tuple)
+                  else (band_halo, band_halo))
+        if bv and bh and (bv < mb_h * block or bh < mb_w * block):
+            return _mc_fused_grouped_multi(refs, mv_h, mv_v, mb_h, mb_w,
+                                           block, bv, bh, layout)
+    return tuple(motion_compensate(r, mv_h, mv_v, mb_h, mb_w, block,
+                                   method=method, band_halo=band_halo,
+                                   layout=layout) for r in refs)
 
 
 def chroma_mv(mv: jnp.ndarray) -> jnp.ndarray:

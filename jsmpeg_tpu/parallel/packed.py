@@ -165,13 +165,14 @@ def _concat_cell(frames: List[dict], n: int) -> dict:
 
 @functools.partial(jax.jit, static_argnames=(
     'n_frames', 'mb_h_local', 'mb_w', 'n_runs', 'n_blk', 'halo_mb',
-    'mb_h_total', 'mesh', 'mv_wide'))
+    'mb_h_total', 'mesh', 'mv_wide', 'mc_method'))
 def decode_gops_tiled_packed(bufs: jnp.ndarray, init_cur: Planes,
                              init_fwd: Planes, intra_q: jnp.ndarray,
                              non_intra_q: jnp.ndarray, n_frames: int,
                              mb_h_local: int, mb_w: int, n_runs: int,
                              n_blk: int, halo_mb: int, mb_h_total: int,
-                             mesh: Mesh, mv_wide: bool = False):
+                             mesh: Mesh, mv_wide: bool = False,
+                             mc_method: str = None):
     """bufs: uint8 [G, T, L] fused cell buffers sharded over
     ('gop', 'tile'); init planes [G, rows, W] (rows sharded over 'tile')
     seed each GOP's scan carry (zeros except a mid-GOP continuation).
@@ -190,7 +191,7 @@ def decode_gops_tiled_packed(bufs: jnp.ndarray, init_cur: Planes,
             step = functools.partial(
                 _levels_step, intra_q=iq, non_intra_q=nq,
                 mb_h_local=mb_h_local, mb_w=mb_w, halo_mb=halo_mb,
-                mb_h_total=mb_h_total, axis='tile')
+                mb_h_total=mb_h_total, axis='tile', mc_method=mc_method)
             (cur, fwd), outs = jax.lax.scan(step, (cur0, fwd0), la)
             return outs, cur, fwd
 
@@ -225,9 +226,11 @@ class MeshPackedDecoder:
     """Reusable driver: caches the sharding objects + static bucket sizes
     so repeated calls (streaming batches) hit one compiled variant."""
 
-    def __init__(self, mesh: Mesh, seq, f_code: int = 2):
+    def __init__(self, mesh: Mesh, seq, f_code: int = 2,
+                 mc_method: str = None):
         self.mesh = mesh
         self.seq = seq
+        self.mc_method = mc_method
         self.n_gop = mesh.shape['gop']
         self.n_tile = mesh.shape['tile']
         self.mb_h = seq.mb_height
@@ -306,7 +309,7 @@ class MeshPackedDecoder:
             dev_bufs, put(ic), put(ifw), iq, nq, n_frames=fmax,
             mb_h_local=self.mb_h_local, mb_w=self.mb_w, n_runs=n_runs,
             n_blk=n_blk, halo_mb=halo_mb, mb_h_total=self.mb_h_pad,
-            mesh=self.mesh, mv_wide=mv_wide)
+            mesh=self.mesh, mv_wide=mv_wide, mc_method=self.mc_method)
         gl = [len(x) for x in gops]
         last = len(gops) - 1
         ch = self.mb_h * 16
@@ -317,8 +320,8 @@ class MeshPackedDecoder:
         return outs, gl, carry
 
 
-def decode_packed_mesh(es: bytes, mesh: Mesh,
-                       f_code: int = 2) -> List[Planes]:
+def decode_packed_mesh(es: bytes, mesh: Mesh, f_code: int = 2,
+                       mc_method: str = None) -> List[Planes]:
     """Standalone driver: parse an elementary stream with the native
     packed parser and decode it bit-exactly over the mesh.  Returns
     per-frame full planes in input order (library/test entry; the Player
@@ -340,7 +343,8 @@ def decode_packed_mesh(es: bytes, mesh: Mesh,
             break
     if not frames:
         return []
-    dec = MeshPackedDecoder(mesh, parser.seq, f_code=f_code)
+    dec = MeshPackedDecoder(mesh, parser.seq, f_code=f_code,
+                            mc_method=mc_method)
     outs, gl, _ = dec.decode(frames)
     rows = parser.seq.mb_height * 16
     result = []

@@ -360,7 +360,8 @@ def decode_streams_offline(streams: Sequence[bytes],
 
 
 def decode_streams_mesh(streams: Sequence[bytes], mesh,
-                        f_code: int = 2, with_seq: bool = False):
+                        f_code: int = 2, with_seq: bool = False,
+                        mc_method: str = None):
     """Serving fleet: decode N same-resolution streams over a device
     mesh.  Every stream opens with an I-frame and its GOPs are closed
     decode units, so the streams' GOP lists simply concatenate into the
@@ -418,7 +419,7 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
         return ([[] for _ in streams], seq0) if with_seq \
             else [[] for _ in streams]
 
-    dec = MeshPackedDecoder(mesh, seq0, f_code=f_code)
+    dec = MeshPackedDecoder(mesh, seq0, f_code=f_code, mc_method=mc_method)
     if p_first or not dec.fits_mesh(all_frames):
         # MV reach beyond the per-tile halo, or a stream joining
         # mid-GOP: single-chip vmapped fallback, exactly like

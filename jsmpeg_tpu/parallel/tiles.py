@@ -142,22 +142,17 @@ def _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
     return pred
 
 
-def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
-                     block: int, halo: int, row0, total_rows: int,
-                     layout: str = 'plane'):
-    """Banded grouped-column one-hot window extraction over the halo'd
-    slab (same formulation as ops/motion.py _mc_onehot_band_grouped, with
-    the slab's exchanged halo rows acting as the vertical band).  The
-    per-MB-row band slices the slab directly; the frame-edge row clamp
-    composes into the band indices (clamped global rows always map to
-    real slab rows, never the zero padding at the frame edges).  Columns
-    ride edge-replicated padding, which IS the frame-edge column clamp.
-    Requires |mv|/2 + 1 <= halo in this plane's pixels on BOTH axes --
-    the same f_code bound that sizes the halo exchange itself
-    (halo_mb_rows; MPEG1 has one forward_f for both axes,
-    /root/reference/src/mpeg1.js:413-418)."""
+def _tiled_band_setup(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
+                      block: int, halo: int, dtype):
+    """Shared scaffolding of the tiled banded MC variants (onehot and
+    fused): grouped-column geometry over the halo'd slab, with the
+    slab's exchanged halo rows acting as the vertical band.  Columns
+    ride edge-replicated padding, which IS the frame-edge column clamp;
+    the row clamp composes into the band indices in each variant.
+    Returns (gband [mb_h_local, n_grp, band_rows, span] in `dtype`,
+    vy, vx, oy, ox padded MV grids, and the geometry tuple (band_rows,
+    G, n_grp, mb_w_pad, marg, span))."""
     W = mb_w * block
-    B1 = block + 1
     rows_local = mb_h_local * block
     assert halo % block == 0
     nwin = 2 * (halo // block) + 1
@@ -184,7 +179,7 @@ def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
     extp = jnp.concatenate([
         jnp.repeat(ref[:, :1], marg, axis=1), ref,
         jnp.repeat(ref[:, -1:], Wp - W - marg, axis=1)], axis=1)
-    extp = (extp.astype(jnp.int16) - 128).astype(jnp.int8)
+    extp = (extp.astype(jnp.int16) - 128).astype(jnp.int8).astype(dtype)
     band = jnp.stack(
         [extp[k * block:k * block + rows_local]
          .reshape(mb_h_local, block, Wp) for k in range(nwin)],
@@ -192,6 +187,26 @@ def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
     gband = jnp.stack(
         [band[:, :, g * G * block:g * G * block + span]
          for g in range(n_grp)], axis=1)
+    return gband, vy, vx, oy, ox, (band_rows, G, n_grp, mb_w_pad, marg,
+                                   span)
+
+
+def _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
+                     block: int, halo: int, row0, total_rows: int,
+                     layout: str = 'plane'):
+    """Banded grouped-column one-hot window extraction over the halo'd
+    slab (same formulation as ops/motion.py _mc_onehot_band_grouped,
+    `_tiled_band_setup` geometry).  The per-MB-row band slices the slab
+    directly; the frame-edge row clamp composes into the band indices
+    (clamped global rows always map to real slab rows, never the zero
+    padding at the frame edges).  Requires |mv|/2 + 1 <= halo in this
+    plane's pixels on BOTH axes -- the same f_code bound that sizes the
+    halo exchange itself (halo_mb_rows; MPEG1 has one forward_f for both
+    axes, /root/reference/src/mpeg1.js:413-418)."""
+    B1 = block + 1
+    gband, vy, vx, oy, ox, \
+        (band_rows, G, n_grp, mb_w_pad, marg, span) = _tiled_band_setup(
+            ref, mv_h, mv_v, mb_h_local, mb_w, block, halo, jnp.int8)
 
     base_r = (jnp.arange(mb_h_local, dtype=jnp.int32)
               * block)[:, None, None]
@@ -224,45 +239,13 @@ def _mc_tiled_fused(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
                     layout: str = 'plane'):
     """`_mc_tiled_onehot` with the half-pel taps folded into bf16 weight
     matrices (ops/motion.py `_mc_fused_band` exactness argument; same
-    halo'd-slab clamp geometry as `_mc_tiled_onehot`: global-row clamp
+    halo'd-slab clamp geometry via `_tiled_band_setup`: global-row clamp
     composed into band indices per tap, edge-replicated columns)."""
-    from ..ops.motion import _fused_tap_weights_pair
-    W = mb_w * block
+    from ..ops.motion import _fused_tap_weights, _fused_tap_weights_pair
     rows_local = mb_h_local * block
-    assert halo % block == 0
-    nwin = 2 * (halo // block) + 1
-    band_rows = nwin * block
-    G = max(1, 128 // block)
-    n_grp = -(-mb_w // G)
-    mb_w_pad = n_grp * G
-    marg = halo + block
-    span = G * block + 2 * marg
-    Wp = mb_w_pad * block + 2 * marg
-
-    def padg(grid, fill=0):
-        g = grid.reshape(mb_h_local, mb_w)
-        if mb_w_pad == mb_w:
-            return g
-        return jnp.pad(g, ((0, 0), (0, mb_w_pad - mb_w)),
-                       constant_values=fill)
-
-    vy = padg(jnp.right_shift(mv_v, 1))
-    vx = padg(jnp.right_shift(mv_h, 1))
-    oy = padg(mv_v & 1).astype(bool)
-    ox = padg(mv_h & 1).astype(bool)
-
-    extp = jnp.concatenate([
-        jnp.repeat(ref[:, :1], marg, axis=1), ref,
-        jnp.repeat(ref[:, -1:], Wp - W - marg, axis=1)], axis=1)
-    extp = (extp.astype(jnp.int16) - 128).astype(jnp.int8) \
-        .astype(jnp.bfloat16)
-    band = jnp.stack(
-        [extp[k * block:k * block + rows_local]
-         .reshape(mb_h_local, block, Wp) for k in range(nwin)],
-        axis=1).reshape(mb_h_local, band_rows, Wp)
-    gband = jnp.stack(
-        [band[:, :, g * G * block:g * G * block + span]
-         for g in range(n_grp)], axis=1)
+    gband, vy, vx, oy, ox, \
+        (band_rows, G, n_grp, mb_w_pad, marg, span) = _tiled_band_setup(
+            ref, mv_h, mv_v, mb_h_local, mb_w, block, halo, jnp.bfloat16)
 
     base_r = (jnp.arange(mb_h_local, dtype=jnp.int32)
               * block)[:, None, None]
@@ -273,13 +256,14 @@ def _mc_tiled_fused(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
                           0, total_rows - 1)         # frame-edge clamp
         return jnp.clip(rows_g - row0 - base_r + halo, 0, band_rows - 1)
 
+    # the two row taps clamp independently in GLOBAL row space before
+    # mapping into the band, so the pair form takes both explicitly
     w_r = _fused_tap_weights_pair(band_row(0), band_row(1), oy, band_rows)
     base_l = ((jnp.arange(mb_w_pad, dtype=jnp.int32) % G)
               * block)[None, :, None]
     cols0 = (base_l + vx[:, :, None] + taps + marg) \
         .reshape(mb_h_local, n_grp, G, block)
-    w_c = _fused_tap_weights_pair(cols0, cols0 + 1,
-                                  ox.reshape(mb_h_local, n_grp, G), span)
+    w_c = _fused_tap_weights(cols0, ox.reshape(mb_h_local, n_grp, G), span)
 
     win_c = jnp.einsum('aghw,agbcw->agbhc', gband, w_c,
                        preferred_element_type=jnp.bfloat16)
@@ -290,7 +274,7 @@ def _mc_tiled_fused(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,
     pred = jnp.right_shift(res.astype(jnp.int32) + (2 + 4 * 128), 2)
     if layout == 'block':
         return pred
-    return pred.transpose(0, 2, 1, 3).reshape(rows_local, W)
+    return pred.transpose(0, 2, 1, 3).reshape(rows_local, mb_w * block)
 
 
 def decode_frame_planes_tiled(cur: Planes, fwd: Planes, f: FrameArrays,
@@ -410,9 +394,11 @@ def _gop_scan_local(frames, step, rows_local: int, cw: int):
 
 
 @functools.partial(jax.jit, static_argnames=('mb_h_pad', 'mb_w', 'halo_mb',
-                                             'mb_h_total', 'mesh'))
+                                             'mb_h_total', 'mesh',
+                                             'mc_method'))
 def decode_gops_tiled(stacked: FrameArrays, mb_h_pad: int, mb_w: int,
-                      halo_mb: int, mb_h_total: int, mesh: Mesh):
+                      halo_mb: int, mb_h_total: int, mesh: Mesh,
+                      mc_method: str = None):
     """stacked: [G, F, mb_h_pad*mb_w, ...]; G sharded over 'gop', MB rows
     over 'tile'.  Returns per-frame planes [G, F, rows, W] row-sharded."""
     n_tile = mesh.shape['tile']
@@ -423,7 +409,8 @@ def decode_gops_tiled(stacked: FrameArrays, mb_h_pad: int, mb_w: int,
     def local(frames: FrameArrays):
         step = functools.partial(_tiled_step, mb_h_local=mb_h_local,
                                  mb_w=mb_w, halo_mb=halo_mb,
-                                 mb_h_total=mb_h_total, axis='tile')
+                                 mb_h_total=mb_h_total, axis='tile',
+                                 mc_method=mc_method)
         return _gop_scan_local(frames, step, rows_local, cw)
 
     # MB arrays shard their row blocks over 'tile' (axis 2 of [G,F,mb,...])
@@ -439,7 +426,7 @@ def decode_gops_tiled(stacked: FrameArrays, mb_h_pad: int, mb_w: int,
 
 
 def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
-                 f_code: int = 2) -> List[Planes]:
+                 f_code: int = 2, mc_method: str = None) -> List[Planes]:
     """Driver: split GOPs, pad, shard over ('gop','tile'), decode, return
     per-frame full planes in input order."""
     from .gop import stack_gops
@@ -459,7 +446,8 @@ def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
         raise ValueError(
             f'MV reach needs {halo} MB rows of halo > '
             f'{mb_h_pad // n_tile} rows per tile; use fewer tiles')
-    outs = decode_gops_tiled(stacked, mb_h_pad, mb_w, halo, mb_h_pad, mesh)
+    outs = decode_gops_tiled(stacked, mb_h_pad, mb_w, halo, mb_h_pad, mesh,
+                             mc_method=mc_method)
     result = []
     rows = mb_h * 16
     for gi, gop in enumerate(gops):
@@ -477,19 +465,21 @@ def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
 # ---------------------------------------------------------------------------
 
 def _levels_step(carry, la, intra_q, non_intra_q, mb_h_local: int,
-                 mb_w: int, halo_mb: int, mb_h_total: int, axis: str):
+                 mb_w: int, halo_mb: int, mb_h_total: int, axis: str,
+                 mc_method: str = None):
     from ..ops.frame import levels_to_frame
     f = levels_to_frame(la, intra_q, non_intra_q)
     return _tiled_step(carry, f, mb_h_local, mb_w, halo_mb, mb_h_total,
-                       axis)
+                       axis, mc_method=mc_method)
 
 
 @functools.partial(jax.jit, static_argnames=('mb_h_pad', 'mb_w', 'halo_mb',
-                                             'mb_h_total', 'mesh'))
+                                             'mb_h_total', 'mesh',
+                                             'mc_method'))
 def decode_gops_tiled_levels(stacked, intra_q: jnp.ndarray,
                              non_intra_q: jnp.ndarray, mb_h_pad: int,
                              mb_w: int, halo_mb: int, mb_h_total: int,
-                             mesh: Mesh):
+                             mesh: Mesh, mc_method: str = None):
     """stacked: LevelsArrays [G, F, mb_h_pad*mb_w, ...]; G shards over
     'gop', MB rows over 'tile'; dequant+premultiply run on device inside
     each shard (quant matrices replicate)."""
@@ -504,7 +494,7 @@ def decode_gops_tiled_levels(stacked, intra_q: jnp.ndarray,
             _levels_step, intra_q=_pvary(iq, ('gop', 'tile')),
             non_intra_q=_pvary(nq, ('gop', 'tile')),
             mb_h_local=mb_h_local, mb_w=mb_w, halo_mb=halo_mb,
-            mb_h_total=mb_h_total, axis='tile')
+            mb_h_total=mb_h_total, axis='tile', mc_method=mc_method)
         return _gop_scan_local(frames, step, rows_local, cw)
 
     spec_mb = P('gop', None, 'tile')
@@ -550,8 +540,8 @@ def parse_levels_frames(es_or_parser, eof: bool = True):
     return parser.seq, frames
 
 
-def decode_tiled_levels(es: bytes, mesh: Mesh,
-                        f_code: int = 2) -> List[Planes]:
+def decode_tiled_levels(es: bytes, mesh: Mesh, f_code: int = 2,
+                        mc_method: str = None) -> List[Planes]:
     """Driver for the levels-wire sharded decode: parse (C++ batch), split
     GOPs, stack [G, F, ...], shard over ('gop','tile'), decode."""
     from ..ops.frame import LevelsArrays
@@ -599,7 +589,7 @@ def decode_tiled_levels(es: bytes, mesh: Mesh,
     iq = jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32)
     nq = jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)
     outs = decode_gops_tiled_levels(stacked, iq, nq, mb_h_pad, mb_w, halo,
-                                    mb_h_pad, mesh)
+                                    mb_h_pad, mesh, mc_method=mc_method)
     result = []
     rows = mb_h * 16
     for gi, gop in enumerate(gops):

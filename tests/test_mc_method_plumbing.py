@@ -1,0 +1,133 @@
+"""The mc_method tuning flag must actually reach every decode path it is
+documented to affect (fused wire, sparse/levels wire, serial fallback,
+tiled mesh) and stay bit-exact -- and the guarded multi-plane MC entry
+must degrade exactly like the single-plane entry when no band is usable."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip('jax')
+import jax.numpy as jnp  # noqa: E402
+
+from jsmpeg_tpu.host.native import native_available
+from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+from jsmpeg_tpu.testing.gen import encode_test_stream
+
+needs_native = pytest.mark.skipif(not native_available(),
+                                  reason='native parser required')
+
+
+def _frames(es, **options):
+    dec = MPEG1Decoder(options)
+    dec.write(0.0, es)
+    outs = dec.decode_available(eof=True)
+    return [(np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
+            for p in outs]
+
+
+@needs_native
+def test_mesh_path_honors_mc_fused():
+    """decode_packed_mesh(mc_method='fused') must route the tiled fused
+    kernel (threaded through MeshPackedDecoder -> decode_gops_tiled_packed
+    -> _levels_step) and stay bit-exact vs the default mesh decode."""
+    from jsmpeg_tpu.parallel.mesh import make_mesh
+    from jsmpeg_tpu.parallel.packed import decode_packed_mesh
+    es, _ = encode_test_stream(96, 128, n_frames=6, seed=31, gop=3)
+    mesh = make_mesh(n_gop=4, n_tile=2)
+    ref = decode_packed_mesh(es, mesh)
+    got = decode_packed_mesh(es, mesh, mc_method='fused')
+    assert len(got) == len(ref) > 0
+    for i, (g, r) in enumerate(zip(got, ref)):
+        for a, b in zip(g, r):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f'frame {i}')
+
+
+@needs_native
+def test_decoder_mc_fused_bit_exact_end_to_end():
+    es, _ = encode_test_stream(96, 64, n_frames=8, seed=32, gop=4)
+    ref = _frames(es)
+    got = _frames(es, mc_method='fused')
+    assert len(got) == len(ref) > 0
+    for g, r in zip(got, ref):
+        for a, b in zip(g, r):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_scan_levels_and_sparse_honor_mc_method():
+    """The sparse/levels wire scans take mc_method and stay bit-exact
+    ('fused' degrades to the identical one-hot when no band is given)."""
+    from jsmpeg_tpu.models.mpeg1 import (decode_scan_levels,
+                                         decode_scan_sparse)
+    from jsmpeg_tpu.ops.frame import LevelsArrays, Planes
+    rng = np.random.default_rng(7)
+    mb_h, mb_w, F = 3, 4, 2
+    n_mb = mb_h * mb_w
+    la = LevelsArrays(
+        levels=rng.integers(-40, 40, (F, n_mb, 6, 64)).astype(np.int16),
+        qscale=np.full((F, n_mb), 8, np.uint8),
+        coded=np.ones((F, n_mb, 6), bool),
+        intra=np.ones((F, n_mb), bool),
+        written=np.ones((F, n_mb), bool),
+        mv_h=np.zeros((F, n_mb), np.int32),
+        mv_v=np.zeros((F, n_mb), np.int32),
+        valid=np.ones(F, bool))
+    iq = jnp.full(64, 16, jnp.int32)
+    nq = jnp.full(64, 16, jnp.int32)
+    z = lambda h, w: jnp.zeros((h, w), jnp.uint8)
+    mk = lambda: Planes(z(mb_h * 16, mb_w * 16), z(mb_h * 8, mb_w * 8),
+                        z(mb_h * 8, mb_w * 8))
+    outs = {}
+    for mc in (None, 'fused', 'fused_pair'):
+        _, _, o = decode_scan_levels(mk(), mk(), la, iq, nq, mb_h=mb_h,
+                                     mb_w=mb_w, band_halo=16,
+                                     mc_method=mc)
+        outs[mc] = [np.asarray(x) for x in o]
+    for mc in ('fused', 'fused_pair'):
+        for a, b in zip(outs[None], outs[mc]):
+            np.testing.assert_array_equal(a, b, err_msg=str(mc))
+    # sparse wire: empty scatter over the same dense levels
+    flat = np.asarray(la.levels, np.int16).reshape(-1)
+    nz = np.nonzero(flat)[0].astype(np.int32)
+    rest = la._replace(levels=np.zeros(0, np.int16))
+    _, _, o = decode_scan_sparse(mk(), mk(), jnp.asarray(nz),
+                                 jnp.asarray(flat[nz]), rest, iq, nq,
+                                 mb_h=mb_h, mb_w=mb_w, band_halo=16,
+                                 mc_method='fused')
+    for a, b in zip(outs[None], o):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_motion_compensate_multi_guard_matches_single():
+    """With no usable band (or band covering the whole plane) the multi
+    entry must fall back per-plane, bit-identical to motion_compensate;
+    with a usable band the shared-weight kernel must match too."""
+    from jsmpeg_tpu.ops.motion import (motion_compensate,
+                                       motion_compensate_multi)
+    rng = np.random.default_rng(9)
+    mb_h, mb_w, block = 3, 5, 8
+    H, W = mb_h * block, mb_w * block
+    refs = tuple(jnp.asarray(
+        rng.integers(0, 256, (H, W)).astype(np.uint8)) for _ in range(2))
+    mv_h = jnp.asarray(rng.integers(-15, 16, mb_h * mb_w).astype(np.int32))
+    mv_v = jnp.asarray(rng.integers(-15, 16, mb_h * mb_w).astype(np.int32))
+    for band in (None, (8, 8), (64, 8), (0, 0)):
+        multi = motion_compensate_multi(refs, mv_h, mv_v, mb_h, mb_w,
+                                        block, method='fused',
+                                        band_halo=band)
+        for r, m in zip(refs, multi):
+            single = motion_compensate(r, mv_h, mv_v, mb_h, mb_w, block,
+                                       method='fused', band_halo=band)
+            np.testing.assert_array_equal(np.asarray(single),
+                                          np.asarray(m),
+                                          err_msg=f'band={band}')
+
+
+def test_inline_upload_env_zero_means_off(monkeypatch):
+    for val, want in (('0', False), ('false', False), ('', False),
+                      ('1', True), ('inline', True)):
+        monkeypatch.setenv('JSMPEG_TPU_INLINE_H2D', val)
+        assert MPEG1Decoder().inline_upload is want, val
+    monkeypatch.delenv('JSMPEG_TPU_INLINE_H2D')
+    assert MPEG1Decoder().inline_upload is False
+    assert MPEG1Decoder({'inline_upload': True}).inline_upload is True

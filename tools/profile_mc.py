@@ -168,6 +168,37 @@ def main():
             r, h, v, MB_H, MB_W, 16, BV, b), ref, mv_h, mv_v)
         print(f'{tag}   luma {t:7.3f} ms/frame (slope)', flush=True)
 
+    # chroma: two independent fused planes vs the shared-weight pair
+    # (the decode step's mc_method='fused_pair' question, 720p geometry)
+    from jsmpeg_tpu.ops.motion import _mc_fused_grouped_multi, chroma_mv
+    cr = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2))
+                     .astype(np.uint8))
+    cb = jnp.asarray(rng.integers(0, 256, (H // 2, W // 2))
+                     .astype(np.uint8))
+    cmh, cmv = chroma_mv(mv_h), chroma_mv(mv_v)
+    cbv, cbh = BV // 2 + 8, BH // 2 + 8      # decode step's chroma halo
+    want_cr = np.asarray(jax.jit(
+        lambda *a: _mc_gather(*a, MB_H, MB_W, 8))(cr, cmh, cmv))
+    got = _mc_fused_grouped_multi((cr, cb), cmh, cmv, MB_H, MB_W, 8,
+                                  cbv, cbh)
+    assert np.array_equal(want_cr, np.asarray(got[0])), 'pair mismatch'
+
+    def two_planes(r, h, v):
+        a = _mc_fused_band(r, h, v, MB_H, MB_W, 8, cbv, cbh)
+        b = _mc_fused_band(jnp.flipud(r), h, v, MB_H, MB_W, 8, cbv, cbh)
+        return a + b
+
+    def pair(r, h, v):
+        a, b = _mc_fused_grouped_multi((r, jnp.flipud(r)), h, v,
+                                       MB_H, MB_W, 8, cbv, cbh)
+        return a + b
+
+    for tag, fn in (('chroma 2x fused    ', two_planes),
+                    ('chroma fused_pair  ', pair)):
+        t = slope_time(lambda r, h, v, f=fn: jnp.clip(
+            f(r, h, v) >> 1, 0, 255), cr, cmh, cmv)
+        print(f'{tag} 2pl {t:7.3f} ms/frame (slope)', flush=True)
+
 
 if __name__ == '__main__':
     main()
