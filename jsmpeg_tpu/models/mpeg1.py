@@ -775,6 +775,12 @@ class MPEG1Decoder:
         self.inline_upload = bool(options.get(
             'inline_upload',
             env_ih not in (None, '', '0', 'false', 'False')))
+        # serving cold-start: compile the single-frame scan variants on
+        # the feeder thread as soon as the sequence header arrives
+        env_pw = os.environ.get('JSMPEG_TPU_PREWARM')
+        self.prewarm_on_connect = bool(options.get(
+            'prewarm', env_pw not in (None, '', '0', 'false', 'False')))
+        self._prewarmed = False
         self.buffer_size = options.get('videoBufferSize', 512 * 1024)
         self.collect_timestamps = not self.streaming
         self.bytes_written = 0
@@ -804,6 +810,8 @@ class MPEG1Decoder:
         if self.streaming:
             self._enforce_buffer_cap()
         self.can_play = True
+        if self.prewarm_on_connect:
+            self._maybe_prewarm()
         if self.parser.has_sequence_header and self._cur is None:
             self._init_planes()
             if self.decode_first_frame and not self._first_frame_done:
@@ -1025,6 +1033,64 @@ class MPEG1Decoder:
             self._h2d = pool = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix='jsmpeg-h2d')
         return pool
+
+    def prewarm(self, width: int = None, height: int = None) -> int:
+        """Compile the single-frame streaming scan variants ahead of the
+        first real frame (serving cold-start: otherwise the stream's
+        first I-frame pays its XLA compile inside the latency budget;
+        the reference's WASM decoder has no compile step to hide,
+        /root/reference/src/websocket.js connect-then-decode flow).
+
+        Bucket statics are predicted from the resolution: the all-coded
+        I-frame blocks bucket at ~3 pairs/block, and a quarter-density
+        typical-P bucket.  A mispredicted bucket only wastes one compile
+        -- and with the persistent compilation cache every prediction is
+        a disk hit on warm restarts.  Resolution comes from the parsed
+        sequence header when available, else the arguments.  Returns the
+        number of variants compiled (0 = resolution unknown)."""
+        seq = self.parser.seq
+        if seq is not None:
+            mb_h, mb_w = seq.mb_height, seq.mb_width
+        elif width and height:
+            mb_h, mb_w = -(-height // 16), -(-width // 16)
+        else:
+            return 0
+        n_mb = mb_h * mb_w
+        z = lambda h, w: jnp.zeros((h, w), jnp.uint8)
+        mk = lambda: Planes(z(mb_h * 16, mb_w * 16), z(mb_h * 8, mb_w * 8),
+                            z(mb_h * 8, mb_w * 8))
+        # jit variants key on shapes + statics only: zero quant matrices
+        # and a zero wire buffer compile the exact program real frames run
+        iq = jnp.zeros(64, jnp.int32)
+        nq = jnp.zeros(64, jnp.int32)
+        blocks_i = 6 * n_mb
+        n_runs = _bucket(1, lo=256)
+        compiled = 0
+        for nb, npair in ((blocks_i, 3 * blocks_i),
+                          (blocks_i // 4, 3 * blocks_i // 4)):
+            n_blk = _bucket(max(nb, 1), lo=1024)
+            n_pairs = fused_pair_bucket(max(npair, 1), max(npair, 1) // 16)
+            ids_blk = n_blk if self.wire_ids else 0
+            L = fused_buffer_len(1, n_mb, n_pairs, n_runs, False, ids_blk)
+            buf = jax.device_put(np.zeros(L, np.uint8))
+            _, _, outs = decode_scan_fused(
+                mk(), mk(), buf, iq, nq, mb_h=mb_h, mb_w=mb_w,
+                n_frames=1, n_blk=n_blk, n_runs=n_runs,
+                band_halo=(16, 16), mv_wide=False,
+                wire_ids=self.wire_ids, block_carry=self.block_carry,
+                mc_method=self.mc_method)
+            jax.block_until_ready(outs.y)
+            compiled += 1
+        return compiled
+
+    def _maybe_prewarm(self) -> None:
+        """Fire the connect-time prewarm once, on the feeder thread, as
+        soon as the sequence header is parsed (streaming decoders with
+        the 'prewarm' option / JSMPEG_TPU_PREWARM env set)."""
+        if self._prewarmed or self.parser.seq is None:
+            return
+        self._prewarmed = True
+        self._h2d_pool().submit(self.prewarm)
 
     def _stage_packed(self, batch, n_frames=None):
         """Assemble one packed batch's fused wire buffer and start its

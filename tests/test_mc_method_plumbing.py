@@ -131,3 +131,44 @@ def test_inline_upload_env_zero_means_off(monkeypatch):
     monkeypatch.delenv('JSMPEG_TPU_INLINE_H2D')
     assert MPEG1Decoder().inline_upload is False
     assert MPEG1Decoder({'inline_upload': True}).inline_upload is True
+
+
+@needs_native
+def test_prewarm_compiles_and_keeps_decode_exact():
+    """prewarm() must compile F=1 variants without touching decoder
+    state: a streaming decode after prewarm stays bit-exact, and
+    resolution can come from the header or explicit arguments."""
+    es, _ = encode_test_stream(96, 64, n_frames=4, seed=33, gop=4)
+    ref = _frames(es)
+
+    dec = MPEG1Decoder({'streaming': True})
+    assert dec.prewarm() == 0               # no header yet, no args
+    assert dec.prewarm(width=96, height=64) == 2
+    dec.write(0.0, es)
+    assert dec.prewarm() == 2               # header-derived path
+    outs = []
+    while True:
+        o = dec.decode()
+        if o is None:
+            break
+        outs.append((np.asarray(o.y), np.asarray(o.cr), np.asarray(o.cb)))
+    assert len(outs) == len(ref) > 0
+    for g, r in zip(outs, ref):
+        for a, b in zip(g, r):
+            np.testing.assert_array_equal(a, b)
+
+
+@needs_native
+def test_prewarm_on_connect_fires_once(monkeypatch):
+    es, _ = encode_test_stream(96, 64, n_frames=2, seed=34, gop=2)
+    calls = []
+    monkeypatch.setattr(MPEG1Decoder, 'prewarm',
+                        lambda self, *a, **k: calls.append(1))
+    dec = MPEG1Decoder({'streaming': True, 'prewarm': True})
+    dec.write(0.0, es[:len(es) // 2])
+    dec.write(0.1, es[len(es) // 2:])
+    dec._h2d_pool().shutdown(wait=True)
+    assert len(calls) == 1
+    # default stays off
+    dec2 = MPEG1Decoder({'streaming': True})
+    assert dec2.prewarm_on_connect is False
