@@ -1084,13 +1084,20 @@ class MPEG1Decoder:
         return compiled
 
     def _maybe_prewarm(self) -> None:
-        """Fire the connect-time prewarm once, on the feeder thread, as
-        soon as the sequence header is parsed (streaming decoders with
-        the 'prewarm' option / JSMPEG_TPU_PREWARM env set)."""
+        """Fire the connect-time prewarm once, on its OWN daemon thread,
+        as soon as the sequence header is parsed (streaming decoders with
+        the 'prewarm' option / JSMPEG_TPU_PREWARM env set).  Not the
+        feeder pool: a mispredicted bucket compiles for ~100 s over the
+        tunnel, and the single-worker H2D queue must stay free for the
+        first real frame's upload.  If the prediction hits, the first
+        frame's identical jit signature waits on (and reuses) the
+        in-flight compile instead of starting its own."""
         if self._prewarmed or self.parser.seq is None:
             return
         self._prewarmed = True
-        self._h2d_pool().submit(self.prewarm)
+        import threading
+        threading.Thread(target=self.prewarm, daemon=True,
+                         name='jsmpeg-prewarm').start()
 
     def _stage_packed(self, batch, n_frames=None):
         """Assemble one packed batch's fused wire buffer and start its

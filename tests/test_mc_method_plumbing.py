@@ -160,15 +160,20 @@ def test_prewarm_compiles_and_keeps_decode_exact():
 
 @needs_native
 def test_prewarm_on_connect_fires_once(monkeypatch):
+    import time
     es, _ = encode_test_stream(96, 64, n_frames=2, seed=34, gop=2)
     calls = []
     monkeypatch.setattr(MPEG1Decoder, 'prewarm',
                         lambda self, *a, **k: calls.append(1))
     dec = MPEG1Decoder({'streaming': True, 'prewarm': True})
     dec.write(0.0, es[:len(es) // 2])
-    dec.write(0.1, es[len(es) // 2:])
-    dec._h2d_pool().shutdown(wait=True)
+    deadline = time.monotonic() + 10
+    while not calls and time.monotonic() < deadline:
+        time.sleep(0.01)           # prewarm runs on its own thread
     assert len(calls) == 1
+    dec.write(0.1, es[len(es) // 2:])
+    time.sleep(0.1)
+    assert len(calls) == 1         # fires once, not per write
     # default stays off
     dec2 = MPEG1Decoder({'streaming': True})
     assert dec2.prewarm_on_connect is False
