@@ -70,11 +70,26 @@ def render(row: dict, source: str) -> str:
         add('1080p sustained device scan (denser stream)',
             f'{row["device_1080p_fps"]:.0f} fps (the reference only '
             'claims 1080p "works just fine" on desktop)')
+    abs_ = [(k, lbl) for k, lbl in
+            (('device_pipeline_fmc_fps', 'fused MC'),
+             ('device_pipeline_fmc2_fps', 'fused_pair MC'),
+             ('device_pipeline_bc_fps', 'block_carry'),
+             ('device_pipeline_ids_fps', 'wire_ids'))
+            if row.get(k)]
+    if abs_:
+        add('formulation A/Bs on the same device scan',
+            ' / '.join(f'{lbl} {row[k]:.0f} fps' for k, lbl in abs_))
+    if row.get('device_multistream_fps'):
+        add('multi-stream serving (joint vmapped scan, aggregate)',
+            f'{row["device_multistream_fps"]:.0f} fps')
     lat = row.get('streaming_latency_720p_ms')
     if isinstance(lat, dict):
-        add('live-streaming chunk-to-frame latency at 720p',
-            f'p50 {lat["p50"]:.0f} ms / p95 {lat["p95"]:.0f} ms incl. one '
-            'readback RPC (reference claims ~50 ms)')
+        txt = (f'p50 {lat["p50"]:.0f} ms / p95 {lat["p95"]:.0f} ms incl. '
+               'one readback RPC (reference claims ~50 ms)')
+        inl = lat.get('inline')
+        if isinstance(inl, dict) and inl.get('p50') == inl.get('p50'):
+            txt += f'; inline-upload A/B p50 {inl["p50"]:.0f} ms'
+        add('live-streaming chunk-to-frame latency at 720p', txt)
     elif lat:
         add('live-streaming chunk-to-frame latency at 720p',
             f'{lat:.0f} ms (reference claims ~50 ms)')
