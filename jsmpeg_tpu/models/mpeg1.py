@@ -776,7 +776,7 @@ class MPEG1Decoder:
             'inline_upload',
             env_ih not in (None, '', '0', 'false', 'False')))
         # serving cold-start: compile the single-frame scan variants on
-        # the feeder thread as soon as the sequence header arrives
+        # a dedicated thread as soon as the sequence header arrives
         env_pw = os.environ.get('JSMPEG_TPU_PREWARM')
         self.prewarm_on_connect = bool(options.get(
             'prewarm', env_pw not in (None, '', '0', 'false', 'False')))
@@ -1063,14 +1063,13 @@ class MPEG1Decoder:
         # and a zero wire buffer compile the exact program real frames run
         iq = jnp.zeros(64, jnp.int32)
         nq = jnp.zeros(64, jnp.int32)
-        blocks_i = 6 * n_mb
-        n_runs = _bucket(1, lo=256)
         compiled = 0
-        for nb, npair in ((blocks_i, 3 * blocks_i),
-                          (blocks_i // 4, 3 * blocks_i // 4)):
-            n_blk = _bucket(max(nb, 1), lo=1024)
-            n_pairs = fused_pair_bucket(max(npair, 1), max(npair, 1) // 16)
+        for n_blk, n_pairs, n_runs in self._prewarm_statics(mb_h, mb_w):
             ids_blk = n_blk if self.wire_ids else 0
+            # n_pairs/n_esc are STATIC jit args on the real dispatch
+            # (_dispatch_packed passes the F=1 coarse bucket and
+            # n_esc=None): the prewarm call must spell them identically
+            # or its compile can never be the one real frames reuse
             L = fused_buffer_len(1, n_mb, n_pairs, n_runs, False, ids_blk)
             buf = jax.device_put(np.zeros(L, np.uint8))
             _, _, outs = decode_scan_fused(
@@ -1078,10 +1077,30 @@ class MPEG1Decoder:
                 n_frames=1, n_blk=n_blk, n_runs=n_runs,
                 band_halo=(16, 16), mv_wide=False,
                 wire_ids=self.wire_ids, block_carry=self.block_carry,
-                mc_method=self.mc_method)
+                n_pairs=n_pairs, n_esc=None, mc_method=self.mc_method)
             jax.block_until_ready(outs.y)
             compiled += 1
         return compiled
+
+    @staticmethod
+    def _prewarm_statics(mb_h: int, mb_w: int):
+        """Predicted F=1 static buckets [(n_blk, n_pairs, n_runs)],
+        deduplicated: the all-coded I-frame guess at ~3 pairs/block and
+        the quarter-density typical-P guess (at small resolutions both
+        collapse into the same bucket floors -- one variant, not two)."""
+        n_mb = mb_h * mb_w
+        blocks_i = 6 * n_mb
+        n_runs = _bucket(1, lo=256)
+        out = []
+        for nb, npair in ((blocks_i, 3 * blocks_i),
+                          (blocks_i // 4, 3 * blocks_i // 4)):
+            n_blk = _bucket(max(nb, 1), lo=1024)
+            n_pairs = fused_pair_bucket(max(npair, 1),
+                                        max(npair, 1) // 16)
+            t = (n_blk, n_pairs, n_runs)
+            if t not in out:
+                out.append(t)
+        return out
 
     def _maybe_prewarm(self) -> None:
         """Fire the connect-time prewarm once, on its OWN daemon thread,
@@ -1093,6 +1112,14 @@ class MPEG1Decoder:
         frame's identical jit signature waits on (and reuses) the
         in-flight compile instead of starting its own."""
         if self._prewarmed or self.parser.seq is None:
+            return
+        if os.environ.get('JSMPEG_TPU_SYNC_H2D'):
+            # the sync escape hatch exists because this transport's
+            # device_put is not thread-safe: a background prewarm would
+            # reintroduce exactly the concurrent transfer it prevents
+            # (callers may still invoke prewarm() explicitly, which runs
+            # on -- and blocks -- their own thread)
+            self._prewarmed = True
             return
         self._prewarmed = True
         import threading

@@ -143,9 +143,24 @@ def test_prewarm_compiles_and_keeps_decode_exact():
 
     dec = MPEG1Decoder({'streaming': True})
     assert dec.prewarm() == 0               # no header yet, no args
-    assert dec.prewarm(width=96, height=64) == 2
+    # at this small resolution the I and P bucket guesses collapse to
+    # one variant; at 720p they stay distinct
+    assert len(MPEG1Decoder._prewarm_statics(4, 6)) == 1
+    assert len(MPEG1Decoder._prewarm_statics(45, 80)) == 2
+    assert dec.prewarm(width=96, height=64) == 1
     dec.write(0.0, es)
-    assert dec.prewarm() == 2               # header-derived path
+    assert dec.prewarm() == 1               # header-derived path
+    # the prediction must spell the SAME static tuple the real F=1
+    # dispatch derives, or the prewarmed compile is never reused
+    from jsmpeg_tpu.host import best_parser
+    from jsmpeg_tpu.models.mpeg1 import build_fused_buffer
+    p = best_parser()
+    p.write(es)
+    b = p.parse_batch(1, eof=True)
+    _, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
+        b, 1, 6 * 4)
+    assert (n_blk, n_pairs, n_runs) in MPEG1Decoder._prewarm_statics(4, 6)
+    assert n_esc is None and mv_wide is False
     outs = []
     while True:
         o = dec.decode()

@@ -79,9 +79,14 @@ def render(row: dict, source: str) -> str:
     if abs_:
         add('formulation A/Bs on the same device scan',
             ' / '.join(f'{lbl} {row[k]:.0f} fps' for k, lbl in abs_))
-    if row.get('device_multistream_fps'):
+    ms = row.get('device_multistream_fps')
+    if isinstance(ms, dict) and ms.get('aggregate'):
+        add('multi-stream serving (joint vmapped scan)',
+            f'{ms["aggregate"]:.0f} fps aggregate over '
+            f'{ms.get("streams", "?")} streams')
+    elif ms:
         add('multi-stream serving (joint vmapped scan, aggregate)',
-            f'{row["device_multistream_fps"]:.0f} fps')
+            f'{ms:.0f} fps')
     lat = row.get('streaming_latency_720p_ms')
     if isinstance(lat, dict):
         txt = (f'p50 {lat["p50"]:.0f} ms / p95 {lat["p95"]:.0f} ms incl. '
