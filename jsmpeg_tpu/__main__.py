@@ -29,10 +29,11 @@ def main(argv=None) -> int:
                          'several .ts paths decode jointly on one chip '
                          '(stream-parallel batch, parallel/streams.py)')
     ap.add_argument('-o', '--y4m', help='write video to .y4m')
-    ap.add_argument('--ppm', help='write frames as PPM files (pattern with %%d)')
+    ap.add_argument('--ppm', help='write frames as PPM or PNG files '
+                    '(pattern with %%d; .png selects PNG)')
     ap.add_argument('--wav', help='write audio to .wav')
     ap.add_argument('--poster',
-                    help='write the first decoded frame to this .ppm '
+                    help='write the first decoded frame to this .ppm/.png '
                          '(the data-poster analog)')
     ap.add_argument('--stats', action='store_true', help='print decode stats')
     ap.add_argument('--realtime', action='store_true',

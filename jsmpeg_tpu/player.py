@@ -64,9 +64,9 @@ def make_source(target: Union[str, bytes, BaseSource],
 
 class _PosterTee:
     """Renderer wrapper writing the first decoded frame (the
-    decodeFirstFrame preview) to a PPM file -- the headless analog of the
-    reference's poster image shown before playback
-    (/root/reference/src/video-element.js:63-73)."""
+    decodeFirstFrame preview) to a PPM or PNG file (by extension) -- the
+    headless analog of the reference's poster image shown before
+    playback (/root/reference/src/video-element.js:63-73)."""
 
     def __init__(self, inner, path: str):
         self._inner = inner
@@ -76,14 +76,15 @@ class _PosterTee:
     def render(self, y, cr, cb) -> None:
         if not self._written:
             self._written = True
+            import numpy as np
+
             from .ops.color import ycbcr_to_rgb_int
+            from .sinks import write_image
             from .utils import fetch
             w = getattr(self._inner, 'width', 0) or y.shape[1]
             h = getattr(self._inner, 'height', 0) or y.shape[0]
             rgb = fetch(ycbcr_to_rgb_int(y, cr, cb, w, h))
-            with open(self._path, 'wb') as f:
-                f.write(b'P6\n%d %d\n255\n' % (w, h))
-                f.write(rgb.tobytes())
+            write_image(self._path, np.asarray(rgb).reshape(h, w, 3))
         self._inner.render(y, cr, cb)
 
     def __getattr__(self, name):

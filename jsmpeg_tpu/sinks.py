@@ -22,6 +22,35 @@ import numpy as np
 from .utils import fetch
 
 
+def write_image(path: str, rgb: np.ndarray) -> None:
+    """Write an RGB uint8 image ([H, W, 3]) as PNG or PPM by extension
+    (SURVEY build plan 7.5 'PNG/y4m dump' sinks).  The PNG encoder is
+    stdlib-only (zlib deflate, filter 0) -- this image has no imaging
+    libraries."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    if not path.lower().endswith('.png'):
+        with open(path, 'wb') as f:
+            f.write(b'P6\n%d %d\n255\n' % (w, h))
+            f.write(rgb.tobytes())
+        return
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack('>I', len(data)) + tag + data
+                + struct.pack('>I', zlib.crc32(tag + data) & 0xffffffff))
+
+    # one filter byte (0 = None) per scanline
+    raw = np.zeros((h, 1 + w * 3), np.uint8)
+    raw[:, 1:] = rgb.reshape(h, w * 3)
+    with open(path, 'wb') as f:
+        f.write(b'\x89PNG\r\n\x1a\n')
+        f.write(chunk(b'IHDR', struct.pack('>IIBBBBB', w, h, 8, 2, 0,
+                                           0, 0)))
+        f.write(chunk(b'IDAT', zlib.compress(raw.tobytes(), 6)))
+        f.write(chunk(b'IEND', b''))
+
+
 class VideoSinkBase:
     enabled = True
 
@@ -110,7 +139,8 @@ class Y4MWriter(VideoSinkBase):
 
 
 class PPMWriter(VideoSinkBase):
-    """One PPM file per frame (RGB via the bit-exact integer kernel)."""
+    """One image file per frame (RGB via the bit-exact integer kernel);
+    a '.png' pattern selects the stdlib PNG encoder, anything else PPM."""
 
     def __init__(self, path_pattern: str = 'frame_%05d.ppm',
                  exact: bool = True):
@@ -122,9 +152,8 @@ class PPMWriter(VideoSinkBase):
         from .ops.color import ycbcr_to_rgb_int, ycbcr_to_rgb_rec601
         fn = ycbcr_to_rgb_int if self.exact else ycbcr_to_rgb_rec601
         rgb = fetch(fn(y, cr, cb, self.width, self.height))
-        with open(self.path_pattern % self.frames_rendered, 'wb') as f:
-            f.write(b'P6\n%d %d\n255\n' % (self.width, self.height))
-            f.write(rgb.tobytes())
+        write_image(self.path_pattern % self.frames_rendered,
+                    np.asarray(rgb).reshape(self.height, self.width, 3))
         self.frames_rendered += 1
 
 
