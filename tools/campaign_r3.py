@@ -97,12 +97,23 @@ def stage_mc():
                     'stderr_tail': err[-500:] if rc else ''})
 
 
+def stage_matrix():
+    rc, out, err, dt = run(
+        [sys.executable, 'tools/profile_matrix.py'], 3600)
+    line = [l for l in out.splitlines() if l.strip().startswith('{')]
+    log_line('matrix', {'rc': rc, 'dt_s': round(dt, 1),
+                        'json': json.loads(line[-1]) if line else None,
+                        'out': out[-2000:],
+                        'stderr_tail': err[-500:] if rc else ''})
+
+
 STAGES = {'bench': stage_bench, 'slopes': stage_slopes,
           'dense': stage_dense, 'streams': stage_streams,
-          'mc': stage_mc}
+          'mc': stage_mc, 'matrix': stage_matrix}
 
 if __name__ == '__main__':
-    want = sys.argv[1:] or ['bench', 'slopes', 'dense', 'streams', 'mc']
+    want = sys.argv[1:] or ['bench', 'matrix', 'slopes', 'dense',
+                            'streams', 'mc']
     for name in want:
         try:
             STAGES[name]()
