@@ -751,8 +751,11 @@ class MPEG1Decoder:
         self.streaming = bool(options.get('streaming'))
         # fast-link wire option: ship coded-block ids (+2 B/block) so the
         # device skips the ordinal computation; off by default (the
-        # tunneled H2D here is upload-bound)
-        self.wire_ids = bool(options.get('wire_ids'))
+        # tunneled H2D here is upload-bound).  Env value '0'/'false'
+        # means OFF, like the other tuning flags.
+        env_wi = os.environ.get('JSMPEG_TPU_WIRE_IDS')
+        self.wire_ids = bool(options.get(
+            'wire_ids', env_wi not in (None, '', '0', 'false', 'False')))
         # scan-carry layout experiment: carry reference planes in MB-block
         # layout (halves per-step uint8 relayouts; A/B'd on-chip before
         # any default flip).  Env value '0'/'false' means OFF so A/B

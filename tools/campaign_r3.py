@@ -107,13 +107,44 @@ def stage_matrix():
                         'stderr_tail': err[-500:] if rc else ''})
 
 
+def stage_bench_best():
+    """Re-run the e2e bench under the matrix stage's winning flags: the
+    matrix isolates the device side, but wire_ids pays +17% upload, so
+    the e2e verdict (upload included) needs its own capture."""
+    best = None
+    try:
+        for line in open(OUT):
+            rec = json.loads(line) if line.strip().startswith('{') else {}
+            if rec.get('stage') == 'matrix' and rec['data'].get('json'):
+                best = rec['data']['json'].get('best')
+    except FileNotFoundError:
+        pass
+    if not best:
+        log_line('bench_best', {'skipped': 'no matrix winner recorded'})
+        return
+    env = dict(os.environ)
+    if best.get('mc'):
+        env['JSMPEG_TPU_MC'] = best['mc']
+    env['JSMPEG_TPU_BLOCK_CARRY'] = '1' if best.get('block_carry') else '0'
+    env['JSMPEG_TPU_WIRE_IDS'] = '1' if best.get('wire_ids') else '0'
+    t0 = time.monotonic()
+    p = subprocess.run([sys.executable, 'bench.py'], cwd=ROOT, env=env,
+                       capture_output=True, text=True, timeout=3600)
+    line = [l for l in p.stdout.splitlines() if l.strip().startswith('{')]
+    log_line('bench_best', {
+        'rc': p.returncode, 'dt_s': round(time.monotonic() - t0, 1),
+        'flags': best, 'json': json.loads(line[-1]) if line else None,
+        'stderr_tail': p.stderr[-500:] if p.returncode else ''})
+
+
 STAGES = {'bench': stage_bench, 'slopes': stage_slopes,
           'dense': stage_dense, 'streams': stage_streams,
-          'mc': stage_mc, 'matrix': stage_matrix}
+          'mc': stage_mc, 'matrix': stage_matrix,
+          'bench_best': stage_bench_best}
 
 if __name__ == '__main__':
-    want = sys.argv[1:] or ['bench', 'matrix', 'slopes', 'dense',
-                            'streams', 'mc']
+    want = sys.argv[1:] or ['bench', 'matrix', 'bench_best', 'slopes',
+                            'dense', 'streams', 'mc']
     for name in want:
         try:
             STAGES[name]()
