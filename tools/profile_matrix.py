@@ -9,6 +9,11 @@ wire buffer (loop + fetch fencing, docs/PERF_ANALYSIS.md methodology),
 checks each against the default output bit-for-bit, and prints a table
 plus one JSON line with the winner — the data needed to flip defaults
 in one shot when the chip answers.
+
+An optional positional arg selects the stream: 720p (default; the
+campaign's matrix stage), dense, or 1080p.  The dense/1080p sweeps are
+manual chip-side tools: they time one whole-batch scan, NOT the
+product's split-group dispatch, so read them as flag deltas only.
 """
 
 from __future__ import annotations
@@ -43,11 +48,24 @@ def bench_stream() -> bytes:
 
 
 def main():
+    which = (sys.argv[1] if len(sys.argv) > 1 else '720p')
     if os.environ.get('JSMPEG_MATRIX_SMALL'):
         # CPU smoke mode: tiny stream, the same 12-variant sweep
         from jsmpeg_tpu.testing.gen import encode_test_stream
         es, _ = encode_test_stream(160, 96, n_frames=8, seed=6, gop=4)
         globals().update(F=8, REPS=2)
+    elif which == 'dense':
+        import bench
+        es = bench.build_dense_stream()
+    elif which == '1080p':
+        cache = '/tmp/jsmpeg_tpu_bench_1920x1080_32.es'
+        if os.path.exists(cache):
+            es = open(cache, 'rb').read()
+        else:
+            from jsmpeg_tpu.testing.gen import encode_realistic_stream
+            es, _ = encode_realistic_stream(1920, 1080, n_frames=32,
+                                            seed=7, gop=8)
+            open(cache, 'wb').write(es)
     else:
         es = bench_stream()
     dec = MPEG1Decoder()
@@ -96,8 +114,8 @@ def main():
                         'fps': fps})
 
     best = max(results, key=lambda r: r['fps'])
-    print(json.dumps({'metric': 'device_matrix_720p', 'rows': results,
-                      'best': best}), flush=True)
+    print(json.dumps({'metric': f'device_matrix_{which}',
+                      'rows': results, 'best': best}), flush=True)
 
 
 if __name__ == '__main__':
