@@ -1,0 +1,165 @@
+"""Long-running robustness soak: random fixtures x random corruption
+modes through every ingest layer, plus a clean differential round each
+iteration (batch pipeline vs serial-exact) so silent wrong-output bugs
+surface, not just crashes.
+
+Runs until --seconds (or forever with 0); any failure logs a one-line
+JSON reproducer {seed, mode, error} to --log and keeps going.  Exit
+code 1 if any iteration failed.  CPU-backend friendly: small streams.
+
+Usage: python tools/fuzz_soak.py [--seconds 3600] [--log /tmp/fuzz.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/.cache/jax_comp')
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _fixture(rng):
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    from jsmpeg_tpu.testing.mp2_enc import encode_stream
+    from jsmpeg_tpu.testing.ts_mux import mux_av
+    w = int(rng.choice([48, 96, 160]))
+    h = int(rng.choice([48, 64, 96]))
+    n = int(rng.integers(2, 9))
+    gop = int(rng.integers(1, 5))
+    f_code = int(rng.integers(1, 5))
+    es, chunks = encode_test_stream(w, h, n_frames=n,
+                                    seed=int(rng.integers(1 << 30)),
+                                    gop=gop, f_code=f_code,
+                                    full_pel=bool(rng.integers(2)))
+    aes, af = encode_stream(int(rng.integers(1, 5)),
+                            seed=int(rng.integers(1 << 30)))
+    v = chunks[:-1]
+    v[-1] += chunks[-1]
+    return es, mux_av(v, 25.0, af, 1152, 44100)
+
+
+def _corrupt(ts: bytes, rng, mode: str) -> bytes:
+    b = bytearray(ts)
+    if mode == 'bitflips':
+        for _ in range(int(rng.integers(1, 60))):
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+    elif mode == 'truncate':
+        b = b[:int(rng.integers(0, len(b)))]
+    elif mode == 'garbage_prefix':
+        b = bytearray(rng.integers(0, 256, int(rng.integers(1, 5000)),
+                                   dtype=np.uint8).tobytes()) + b
+    elif mode == 'drop_packets':
+        n = len(b) // 188
+        keep = [i for i in range(n) if rng.random() > 0.1]
+        b = bytearray(b''.join(bytes(b[i * 188:(i + 1) * 188])
+                               for i in keep))
+    elif mode == 'dup_packets':
+        n = len(b) // 188
+        out = bytearray()
+        for i in range(n):
+            pkt = bytes(b[i * 188:(i + 1) * 188])
+            out += pkt
+            if rng.random() < 0.08:
+                out += pkt
+        b = out
+    elif mode == 'mix':
+        for m in ('drop_packets', 'bitflips'):
+            b = bytearray(_corrupt(bytes(b), rng, m))
+    return bytes(b)
+
+
+def _drain(ts_bytes: bytes) -> None:
+    from jsmpeg_tpu.demux import TSDemuxer
+    from jsmpeg_tpu.models.mp2 import MP2Decoder
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    dem = TSDemuxer()
+    vid = MPEG1Decoder({'streaming': True})
+    aud = MP2Decoder({'streaming': True})
+    dem.connect(0xE0, vid)
+    dem.connect(0xC0, aud)
+    # random chunking exercises the resync/partial-packet paths
+    rng = np.random.default_rng(len(ts_bytes))
+    pos = 0
+    while pos < len(ts_bytes):
+        step = int(rng.integers(1, 4096))
+        dem.write(ts_bytes[pos:pos + step])
+        pos += step
+    dem.flush()
+    for _ in range(64):
+        if vid.decode(eof=True) is None:
+            break
+    for _ in range(64):
+        if aud.decode() is None:
+            break
+
+
+def _differential(es: bytes) -> None:
+    """Clean stream: batch pipeline must equal the serial-exact path."""
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+
+    def run(opts):
+        d = MPEG1Decoder(opts)
+        d.write(0.0, es)
+        return [(np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
+                for p in d.decode_available(eof=True)]
+
+    a = run({})
+    b = run({'mc_method': 'fused'})
+    assert len(a) == len(b) and len(a) > 0
+    for i, (fa, fb) in enumerate(zip(a, b)):
+        for x, y in zip(fa, fb):
+            assert np.array_equal(x, y), f'frame {i} differs'
+
+
+MODES = ('bitflips', 'truncate', 'garbage_prefix', 'drop_packets',
+         'dup_packets', 'mix')
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--seconds', type=float, default=3600)
+    ap.add_argument('--log', default='/tmp/fuzz_soak.jsonl')
+    ap.add_argument('--seed', type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    if jax.default_backend() != 'cpu':
+        pass            # soak runs wherever it lands; CPU recommended
+
+    t_end = time.monotonic() + args.seconds if args.seconds else None
+    base = args.seed if args.seed is not None else int(time.time())
+    it = fails = 0
+    while t_end is None or time.monotonic() < t_end:
+        seed = base + it
+        rng = np.random.default_rng(seed)
+        mode = MODES[it % len(MODES)]
+        try:
+            es, ts = _fixture(rng)
+            _drain(_corrupt(ts, rng, mode))
+            if it % len(MODES) == 0:
+                _differential(es)
+        except Exception as e:                      # log + keep going
+            fails += 1
+            rec = {'seed': seed, 'mode': mode, 'error': repr(e),
+                   'trace': traceback.format_exc()[-2000:]}
+            with open(args.log, 'a') as f:
+                f.write(json.dumps(rec) + '\n')
+            print(f'FAIL it={it} seed={seed} mode={mode}: {e!r}',
+                  flush=True)
+        it += 1
+        if it % 25 == 0:
+            print(f'{it} iterations, {fails} failures', flush=True)
+    print(f'done: {it} iterations, {fails} failures', flush=True)
+    return 1 if fails else 0
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())
