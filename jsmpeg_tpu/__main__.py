@@ -69,8 +69,7 @@ def main(argv=None) -> int:
     args.source = args.source[0]
 
     from .player import Player
-    from .sinks import (NullAudioSink, NullVideoSink, PPMWriter, WavWriter,
-                        Y4MWriter)
+    from .sinks import PPMWriter, WavWriter, Y4MWriter
 
     renderer = None
     if args.y4m:

@@ -52,6 +52,13 @@ class PlayerConfig:
     # the ordinal computation; for hosts with cheap H2D (PCIe DMA), not
     # for upload-bound links
     wire_ids: bool = False
+    # remaining decoder tuning flags (README 'Tuning flags' table; all
+    # bit-exact formulation choices, A/B'd in bench.py).  None/False =
+    # the decoder's default (which also honors the JSMPEG_TPU_* envs)
+    mc_method: Optional[str] = None         # 'fused' | 'fused_pair'
+    block_carry: Optional[bool] = None      # MB-block scan carry
+    inline_upload: Optional[bool] = None    # wire buffer via jit call
+    prewarm: bool = False                   # compile F=1 variants at connect
 
     @classmethod
     def from_options(cls, options: Optional[dict]) -> 'PlayerConfig':
@@ -78,6 +85,9 @@ class PlayerConfig:
             'audioMode': 'audio_mode',
             'batchGOP': 'batch_gop',
             'wireIds': 'wire_ids',
+            'mcMethod': 'mc_method',
+            'blockCarry': 'block_carry',
+            'inlineUpload': 'inline_upload',
         }
         kw = {}
         for k, v in options.items():

@@ -25,7 +25,7 @@ from .models.mpeg1 import MPEG1Decoder
 from .sinks import (AudioSinkBase, NullAudioSink, NullVideoSink,
                     PacedAudioSink, VideoSinkBase)
 from .sources import (BaseSource, BytesSource, FileSource,
-                      ProgressiveFileSource, PushSource, TCPSource)
+                      ProgressiveFileSource, TCPSource)
 from . import tables as T
 
 
@@ -134,6 +134,13 @@ class Player:
                 'wire_ids': cfg.wire_ids,
                 'onVideoDecode': _vcb,
                 'onAudioDecode': _acb}
+        # tuning flags pass through only when SET: a present-but-None key
+        # would shadow the decoder's JSMPEG_TPU_* env defaults
+        for flag in ('mc_method', 'block_carry', 'inline_upload'):
+            if getattr(cfg, flag) is not None:
+                opts[flag] = getattr(cfg, flag)
+        if cfg.prewarm:
+            opts['prewarm'] = True
         self.video: Optional[MPEG1Decoder] = None
         self.audio: Optional[MP2Decoder] = None
         self.renderer = renderer if renderer is not None else NullVideoSink()

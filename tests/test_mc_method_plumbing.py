@@ -192,3 +192,21 @@ def test_prewarm_on_connect_fires_once(monkeypatch):
     # default stays off
     dec2 = MPEG1Decoder({'streaming': True})
     assert dec2.prewarm_on_connect is False
+
+
+def test_player_threads_tuning_flags(monkeypatch):
+    """Player options (incl. camelCase) must reach the decoder; UNSET
+    flags must not shadow the JSMPEG_TPU_* env defaults."""
+    from jsmpeg_tpu.player import Player
+    p = Player(b'', {'mcMethod': 'fused', 'blockCarry': True,
+                     'inlineUpload': False, 'prewarm': True,
+                     'wireIds': True})
+    v = p.video
+    assert (v.mc_method, v.block_carry, v.inline_upload,
+            v.prewarm_on_connect, v.wire_ids) == (
+        'fused', True, False, True, True)
+    monkeypatch.setenv('JSMPEG_TPU_MC', 'fused_pair')
+    assert Player(b'', {}).video.mc_method == 'fused_pair'
+    monkeypatch.setenv('JSMPEG_TPU_BLOCK_CARRY', '1')
+    assert Player(b'', {}).video.block_carry is True
+    assert Player(b'', {'blockCarry': False}).video.block_carry is False
