@@ -876,7 +876,14 @@ class MPEG1Decoder:
 
     def _init_planes(self) -> None:
         seq = self.parser.seq
-        self.frame_rate = seq.frame_rate
+        # forbidden/reserved picture-rate codes map to 0.0
+        # (tables.PICTURE_RATE, ISO 11172-2 table 2-5): keep the previous
+        # (default 30) rate instead of dividing by zero per decoded frame
+        # -- the JS reference silently produces Infinity timestamps here
+        # (1/0 in JS); a finite fallback is the documented deviation
+        # (corrupted-header robustness, found by tools/fuzz_soak.py)
+        if seq.frame_rate > 0:
+            self.frame_rate = seq.frame_rate
         cw, ch = seq.coded_width, seq.coded_height
         z = lambda h, w: jnp.zeros((h, w), dtype=jnp.uint8)
         self._cur = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
@@ -885,7 +892,7 @@ class MPEG1Decoder:
             if hasattr(self.destination, 'resize'):
                 self.destination.resize(seq.width, seq.height)
             if hasattr(self.destination, 'frame_rate'):
-                self.destination.frame_rate = seq.frame_rate
+                self.destination.frame_rate = self.frame_rate
 
     @property
     def seq(self):

@@ -80,3 +80,28 @@ def test_garbage_then_valid_stream_recovers():
     rng = np.random.default_rng(3)
     junk = rng.integers(0, 256, 3777, dtype=np.uint8).tobytes()
     assert _drain(junk + _ts_fixture()) >= 5
+
+
+def test_zero_picture_rate_header_survives():
+    """A corrupted sequence header can carry the forbidden picture-rate
+    code 0 (PICTURE_RATE[0] == 0.0): decoding must keep a finite clock
+    instead of dividing by zero (found by tools/fuzz_soak.py seed
+    1787025327).  The JS reference yields Infinity timestamps here; we
+    keep the previous/default rate -- documented deviation."""
+    from jsmpeg_tpu.testing.bitwriter import BitWriter
+    es, _ = encode_test_stream(48, 48, n_frames=2, seed=50, gop=2)
+    # the fixture encoder emits the sequence header first: locate it and
+    # zero the 4-bit picture-rate field (byte 7 low nibble of the
+    # 12+12+4 layout following the 32-bit start code)
+    i = es.index(b'\x00\x00\x01\xb3')
+    b = bytearray(es)
+    b[i + 7] &= 0xF0                       # picture_rate code -> 0
+    dec = MPEG1Decoder({'streaming': True})
+    dec.write(0.0, bytes(b))
+    n = 0
+    for _ in range(8):
+        if dec.decode(eof=True) is None:
+            break
+        n += 1
+    assert dec.frame_rate == 30.0          # finite fallback kept
+    assert np.isfinite(dec.decoded_time)
