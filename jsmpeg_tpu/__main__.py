@@ -86,8 +86,11 @@ def main(argv=None) -> int:
         'mesh': args.mesh,
         'streaming': args.streaming,
         'poster': args.poster,
-        'wire_ids': args.wire_ids,
     }
+    if args.wire_ids:
+        # only when given: an unconditional False would shadow the
+        # decoder's JSMPEG_TPU_WIRE_IDS env default
+        options['wire_ids'] = True
     t0 = time.monotonic()
     p = Player(args.source, options, renderer=renderer, audio_out=audio_out)
     if renderer is None:
@@ -131,7 +134,7 @@ def _multi(args) -> int:
     outputs (a %d pattern, or an index is inserted before the suffix)."""
     import numpy as np
 
-    from .demux import TSDemuxer
+    from .demux import demux_to_es
     from .parallel.streams import MultiStreamDecoder
     from .sinks import Y4MWriter
 
@@ -142,21 +145,7 @@ def _multi(args) -> int:
     for path in paths:
         with open(path, 'rb') as f:
             data = f.read()
-        es = bytearray()
-
-        class _Collect:
-            def write(self, pts, payload, _b=es):
-                if isinstance(payload, (bytes, bytearray, memoryview)):
-                    _b.extend(payload)
-                else:               # demuxer delivers buffer lists
-                    for p in payload:
-                        _b.extend(p)
-        dem = TSDemuxer()
-        dem.connect(0xE0, _Collect())
-        dem.write(data)
-        dem.flush()
-        # raw elementary streams pass through the demuxer empty
-        streams.append(bytes(es) if es else data)
+        streams.append(demux_to_es(data))
     t0 = time.monotonic()
     if args.mesh:
         # serving fleet: streams' closed GOPs spread over the mesh's

@@ -48,13 +48,11 @@ class PlayerConfig:
     audio_mode: str = 'exact'               # 'exact' | 'tpu'
     batch_gop: bool = True                  # batch frames through lax.scan
     mesh: Any = None                        # parallel decode mesh (optional)
-    # ship coded-block ids on the wire (+2 B/block) so the device skips
-    # the ordinal computation; for hosts with cheap H2D (PCIe DMA), not
-    # for upload-bound links
-    wire_ids: bool = False
-    # remaining decoder tuning flags (README 'Tuning flags' table; all
-    # bit-exact formulation choices, A/B'd in bench.py).  None/False =
-    # the decoder's default (which also honors the JSMPEG_TPU_* envs)
+    # decoder tuning flags (README 'Tuning flags' table; all bit-exact
+    # formulation choices, A/B'd in bench.py).  None = the decoder's
+    # default, which also honors the JSMPEG_TPU_* envs -- a set value
+    # overrides the env
+    wire_ids: Optional[bool] = None         # +2 B/block coded-block ids
     mc_method: Optional[str] = None         # 'fused' | 'fused_pair'
     block_carry: Optional[bool] = None      # MB-block scan carry
     inline_upload: Optional[bool] = None    # wire buffer via jit call

@@ -203,3 +203,23 @@ class TSDemuxer:
         pi.total_length = 0
         pi.current_length = 0
         pi.buffers = []
+
+
+def demux_to_es(data: bytes, stream_type: int = 0xE0) -> bytes:
+    """Extract one PID's elementary stream from MPEG-TS bytes; raw
+    elementary streams (no TS packets) pass through unchanged.  The
+    shared helper behind the CLI multi-input and tools (thumbs)."""
+    es = bytearray()
+
+    class _Collect:
+        def write(self, pts, payload):
+            bufs = ([payload] if isinstance(
+                payload, (bytes, bytearray, memoryview)) else payload)
+            for p in bufs:
+                es.extend(p)
+
+    dem = TSDemuxer()
+    dem.connect(stream_type, _Collect())
+    dem.write(data)
+    dem.flush()
+    return bytes(es) if es else data

@@ -131,12 +131,12 @@ class Player:
                 'videoBufferSize': cfg.video_buffer_size,
                 'audioBufferSize': cfg.audio_buffer_size,
                 'decodeFirstFrame': cfg.decode_first_frame,
-                'wire_ids': cfg.wire_ids,
                 'onVideoDecode': _vcb,
                 'onAudioDecode': _acb}
         # tuning flags pass through only when SET: a present-but-None key
         # would shadow the decoder's JSMPEG_TPU_* env defaults
-        for flag in ('mc_method', 'block_carry', 'inline_upload'):
+        for flag in ('mc_method', 'block_carry', 'inline_upload',
+                     'wire_ids'):
             if getattr(cfg, flag) is not None:
                 opts[flag] = getattr(cfg, flag)
         if cfg.prewarm:

@@ -46,7 +46,8 @@ def test_thumbs_every_and_limit():
 
 
 def test_thumbs_cli_writes_png(tmp_path):
-    sys.path.insert(0, 'tests')
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from test_sinks_png import read_png
     from tools.thumbs import main
     from jsmpeg_tpu.testing.ts_mux import mux_video

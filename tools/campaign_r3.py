@@ -97,12 +97,18 @@ def stage_mc():
                     'stderr_tail': err[-500:] if rc else ''})
 
 
+_MATRIX_BEST = None     # this run's winner (stage_bench_best prefers it)
+
+
 def stage_matrix():
+    global _MATRIX_BEST
     rc, out, err, dt = run(
         [sys.executable, 'tools/profile_matrix.py'], 3600)
     line = [l for l in out.splitlines() if l.strip().startswith('{')]
-    log_line('matrix', {'rc': rc, 'dt_s': round(dt, 1),
-                        'json': json.loads(line[-1]) if line else None,
+    parsed = json.loads(line[-1]) if line else None
+    if rc == 0 and parsed:
+        _MATRIX_BEST = parsed.get('best')
+    log_line('matrix', {'rc': rc, 'dt_s': round(dt, 1), 'json': parsed,
                         'out': out[-2000:],
                         'stderr_tail': err[-500:] if rc else ''})
 
@@ -111,20 +117,27 @@ def stage_bench_best():
     """Re-run the e2e bench under the matrix stage's winning flags: the
     matrix isolates the device side, but wire_ids pays +17% upload, so
     the e2e verdict (upload included) needs its own capture."""
-    best = None
-    try:
-        for line in open(OUT):
-            rec = json.loads(line) if line.strip().startswith('{') else {}
-            if rec.get('stage') == 'matrix' and rec['data'].get('json'):
-                best = rec['data']['json'].get('best')
-    except FileNotFoundError:
-        pass
+    best, source = _MATRIX_BEST, 'this_run'
+    if not best:
+        # manual single-stage invocation: fall back to the log, labeled
+        # as such (the winner may be from an OLDER build)
+        source = 'log_fallback'
+        try:
+            for line in open(OUT):
+                rec = (json.loads(line)
+                       if line.strip().startswith('{') else {})
+                if rec.get('stage') == 'matrix' and rec['data'].get('json'):
+                    best = rec['data']['json'].get('best')
+        except FileNotFoundError:
+            pass
     if not best:
         log_line('bench_best', {'skipped': 'no matrix winner recorded'})
         return
     env = dict(os.environ)
     if best.get('mc'):
         env['JSMPEG_TPU_MC'] = best['mc']
+    else:
+        env.pop('JSMPEG_TPU_MC', None)    # ambient value must not taint
     env['JSMPEG_TPU_BLOCK_CARRY'] = '1' if best.get('block_carry') else '0'
     env['JSMPEG_TPU_WIRE_IDS'] = '1' if best.get('wire_ids') else '0'
     t0 = time.monotonic()
@@ -133,7 +146,8 @@ def stage_bench_best():
     line = [l for l in p.stdout.splitlines() if l.strip().startswith('{')]
     log_line('bench_best', {
         'rc': p.returncode, 'dt_s': round(time.monotonic() - t0, 1),
-        'flags': best, 'json': json.loads(line[-1]) if line else None,
+        'flags': best, 'flags_source': source,
+        'json': json.loads(line[-1]) if line else None,
         'stderr_tail': p.stderr[-500:] if p.returncode else ''})
 
 

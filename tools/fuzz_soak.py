@@ -130,10 +130,6 @@ def main(argv=None) -> int:
     ap.add_argument('--seed', type=int, default=None)
     args = ap.parse_args(argv)
 
-    import jax
-    if jax.default_backend() != 'cpu':
-        pass            # soak runs wherever it lands; CPU recommended
-
     t_end = time.monotonic() + args.seconds if args.seconds else None
     base = args.seed if args.seed is not None else int(time.time())
     it = fails = 0

@@ -37,7 +37,7 @@ from jsmpeg_tpu.models.mpeg1 import (MPEG1Decoder, build_fused_buffer,
 from jsmpeg_tpu.ops.frame import Planes
 from jsmpeg_tpu.utils import fetch
 
-W, H, F = 1280, 720, 32
+F = 32
 REPS = 10
 
 
@@ -51,8 +51,12 @@ def main():
     which = (sys.argv[1] if len(sys.argv) > 1 else '720p')
     if os.environ.get('JSMPEG_MATRIX_SMALL'):
         # CPU smoke mode: tiny stream, the same 12-variant sweep
+        if which != '720p':
+            raise SystemExit('JSMPEG_MATRIX_SMALL runs its own tiny '
+                             'stream; drop the stream selector')
         from jsmpeg_tpu.testing.gen import encode_test_stream
         es, _ = encode_test_stream(160, 96, n_frames=8, seed=6, gop=4)
+        which = 'small'
         globals().update(F=8, REPS=2)
     elif which == 'dense':
         import bench

@@ -101,29 +101,19 @@ def main(argv=None) -> int:
                     help='stop after K thumbnails')
     args = ap.parse_args(argv)
 
+    if args.every < 1:
+        ap.error('--every must be >= 1')
+
     import numpy as np
 
-    from jsmpeg_tpu.demux import TSDemuxer
+    from jsmpeg_tpu.demux import demux_to_es
     from jsmpeg_tpu.ops.color import ycbcr_to_rgb_int
     from jsmpeg_tpu.sinks import write_image
     from jsmpeg_tpu.utils import fetch
 
     with open(args.source, 'rb') as f:
         data = f.read()
-    es = bytearray()
-
-    class _Collect:
-        def write(self, pts, payload):
-            bufs = ([payload] if isinstance(
-                payload, (bytes, bytearray, memoryview)) else payload)
-            for p in bufs:
-                es.extend(p)
-
-    dem = TSDemuxer()
-    dem.connect(0xE0, _Collect())
-    dem.write(data)
-    dem.flush()
-    stream = bytes(es) if es else data       # raw ES passes through empty
+    stream = demux_to_es(data)
 
     t0 = time.monotonic()
     seq, planes = extract_iframe_planes(stream, args.every, args.limit)
