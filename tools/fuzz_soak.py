@@ -101,8 +101,9 @@ def _drain(ts_bytes: bytes) -> None:
             break
 
 
-def _differential(es: bytes) -> None:
-    """Clean stream: batch pipeline must equal the serial-exact path."""
+def _differential(es: bytes, rng) -> None:
+    """Clean stream: the default pipeline must equal a random tuning-flag
+    combination bit-for-bit (every flag is a formulation choice)."""
     from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
 
     def run(opts):
@@ -111,12 +112,16 @@ def _differential(es: bytes) -> None:
         return [(np.asarray(p.y), np.asarray(p.cr), np.asarray(p.cb))
                 for p in d.decode_available(eof=True)]
 
+    flags = {'mc_method': [None, 'fused', 'fused_pair'][
+                 int(rng.integers(3))],
+             'block_carry': bool(rng.integers(2)),
+             'wire_ids': bool(rng.integers(2))}
     a = run({})
-    b = run({'mc_method': 'fused'})
-    assert len(a) == len(b) and len(a) > 0
+    b = run(flags)
+    assert len(a) == len(b) and len(a) > 0, flags
     for i, (fa, fb) in enumerate(zip(a, b)):
         for x, y in zip(fa, fb):
-            assert np.array_equal(x, y), f'frame {i} differs'
+            assert np.array_equal(x, y), f'frame {i} differs: {flags}'
 
 
 MODES = ('bitflips', 'truncate', 'garbage_prefix', 'drop_packets',
@@ -141,7 +146,7 @@ def main(argv=None) -> int:
             es, ts = _fixture(rng)
             _drain(_corrupt(ts, rng, mode))
             if it % len(MODES) == 0:
-                _differential(es)
+                _differential(es, rng)
         except Exception as e:                      # log + keep going
             fails += 1
             rec = {'seed': seed, 'mode': mode, 'error': repr(e),
