@@ -158,6 +158,14 @@ def main(argv=None) -> int:
         it += 1
         if it % 25 == 0:
             print(f'{it} iterations, {fails} failures', flush=True)
+        if it % 50 == 0:
+            # the random geometry x flags sweep compiles a new XLA
+            # executable per combination; unbounded in-process caching
+            # OOM'd a 6h soak (LLVM 'Cannot allocate memory' then a
+            # libgcc segfault).  Product processes serve a fixed
+            # geometry set and don't hit this.
+            import jax
+            jax.clear_caches()
     print(f'done: {it} iterations, {fails} failures', flush=True)
     return 1 if fails else 0
 
