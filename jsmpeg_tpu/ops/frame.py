@@ -73,32 +73,6 @@ def assemble_chroma(blocks: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
     return x.reshape(mb_h * 8, mb_w * 8)
 
 
-def _mask_luma(per_block: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
-    """[n_mb, 4] -> per-pixel [H, W] (broadcast each entry over its 8x8).
-
-    Pure broadcast: the only transpose runs on the tiny [mb_h, mb_w, 2, 2]
-    grid, never on a full plane (a full-plane mask relayout costs more
-    than all the step's arithmetic -- the 7 masks measured ~1.2 ms/frame
-    of the 1.7 ms 720p step before this formulation)."""
-    g = per_block.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3)
-    return jnp.broadcast_to(g[:, :, None, :, :, None],
-                            (mb_h, 2, 8, mb_w, 2, 8)).reshape(mb_h * 16,
-                                                              mb_w * 16)
-
-
-def _mask_chroma(per_block: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
-    g = per_block.reshape(mb_h, mb_w)
-    return jnp.broadcast_to(g[:, None, :, None],
-                            (mb_h, 8, mb_w, 8)).reshape(mb_h * 8, mb_w * 8)
-
-
-def _mb_mask_luma(per_mb: jnp.ndarray, mb_h: int, mb_w: int) -> jnp.ndarray:
-    g = per_mb.reshape(mb_h, mb_w)
-    return jnp.broadcast_to(g[:, None, :, None],
-                            (mb_h, 16, mb_w, 16)).reshape(mb_h * 16,
-                                                          mb_w * 16)
-
-
 def _to_blocks(plane: jnp.ndarray, mb_h: int, mb_w: int,
                block: int) -> jnp.ndarray:
     """[H, W] -> [mb_h, mb_w, block, block] (MB-block layout)."""

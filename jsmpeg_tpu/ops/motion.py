@@ -438,15 +438,19 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     """ref: uint8 [H, W] reference plane; mv_*: int32 [n_mb] in this plane's
     half-pel units (chroma callers pass the /2-truncated vectors).
     Returns int32 [H, W] prediction.  method: 'onehot' | 'fused' |
-    'gather' | None (auto: onehot on accelerators, gather on CPU);
+    'gather' | None (auto: fused on accelerators, gather on CPU);
     'fused' folds the half-pel taps into bf16 weight matmuls
     (`_mc_fused_band`, bit-exact) and degrades to the full-window
     one-hot when no band is usable.  band_halo -- an int or a
     (vertical, horizontal) tuple, static, multiples of block, covering
     the data's true MV reach -- selects the cheap 2D band-limited
-    formulation on accelerators."""
+    formulation on accelerators.
+
+    The accelerator default flipped onehot -> fused on the round-3
+    on-chip capture (BENCH_r03: 786.73 vs 603.55 fps device pipeline,
+    +30%; bit-exact, tests/test_motion_onehot.py)."""
     if method is None:
-        method = 'gather' if jax.default_backend() == 'cpu' else 'onehot'
+        method = 'gather' if jax.default_backend() == 'cpu' else 'fused'
     if method in ('onehot', 'fused'):
         banded = (_mc_fused_band if method == 'fused'
                   else _mc_onehot_band)

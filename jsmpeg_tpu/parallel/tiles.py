@@ -91,19 +91,20 @@ def _mc_tiled(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     half-pel units; row0 = first global row of the local slab;
     total_rows = global plane height (for the frame-edge clamp).
 
-    Same formulation split as ops/motion.py: one-hot MXU matmuls on
-    accelerators (arbitrary gathers cost ~5 ns/element on TPU), the
-    plain 4-tap gather on CPU; mc_method='fused' selects the
-    weight-folded bf16 form (bit-exact either way)."""
-    if mc_method == 'fused':
-        return _mc_tiled_fused(ref, mv_h, mv_v, mb_h_local, mb_w, block,
-                               halo, row0, total_rows, layout)
+    Same formulation split as ops/motion.py: the weight-folded bf16
+    'fused' form by default on accelerators (round-3 on-chip capture:
+    +30% over onehot, BENCH_r03), the plain 4-tap gather on CPU
+    (arbitrary gathers cost ~5 ns/element on TPU but matmul MC on a
+    1-core CPU host would be absurd); bit-exact across all three."""
     if mc_method == 'gather' or (mc_method is None
                                  and jax.default_backend() == 'cpu'):
         return _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local, mb_w, block,
                                 halo, row0, total_rows, layout)
-    return _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local, mb_w, block,
-                            halo, row0, total_rows, layout)
+    if mc_method == 'onehot':
+        return _mc_tiled_onehot(ref, mv_h, mv_v, mb_h_local, mb_w, block,
+                                halo, row0, total_rows, layout)
+    return _mc_tiled_fused(ref, mv_h, mv_v, mb_h_local, mb_w, block,
+                           halo, row0, total_rows, layout)
 
 
 def _mc_tiled_gather(ref, mv_h, mv_v, mb_h_local: int, mb_w: int,

@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder, build_fused_buffer, \
     packed_to_levels, unpack_fused
 from jsmpeg_tpu.ops.frame import (LevelsArrays, Planes, _combine,
-                                  _mask_chroma, _mask_luma, _mb_mask_luma,
                                   assemble_chroma, assemble_luma,
                                   levels_to_frame)
 from jsmpeg_tpu.ops.idct import idct_s32
@@ -30,6 +29,30 @@ from jsmpeg_tpu.utils import fetch
 W, H = 1280, 720
 F = 32
 BAND = 16
+
+
+# The superseded full-plane mask formulation lives HERE now (it is what
+# this tool A/Bs against; the product path uses the _bmask_* broadcast
+# forms in ops/frame.py, which replaced these in round 2b)
+
+def _mask_luma(per_block, mb_h, mb_w):
+    g = per_block.reshape(mb_h, mb_w, 2, 2).transpose(0, 2, 1, 3)
+    return jnp.broadcast_to(g[:, :, None, :, :, None],
+                            (mb_h, 2, 8, mb_w, 2, 8)).reshape(mb_h * 16,
+                                                              mb_w * 16)
+
+
+def _mask_chroma(per_block, mb_h, mb_w):
+    g = per_block.reshape(mb_h, mb_w)
+    return jnp.broadcast_to(g[:, None, :, None],
+                            (mb_h, 8, mb_w, 8)).reshape(mb_h * 8, mb_w * 8)
+
+
+def _mb_mask_luma(per_mb, mb_h, mb_w):
+    g = per_mb.reshape(mb_h, mb_w)
+    return jnp.broadcast_to(g[:, None, :, None],
+                            (mb_h, 16, mb_w, 16)).reshape(mb_h * 16,
+                                                          mb_w * 16)
 
 
 def loop_time(fn, fence, k=10, reps=3):
