@@ -408,31 +408,43 @@ def device_rows(emit):
     emit('device_pipeline_fmc2_fps',
          round(32 * 10 / (time.monotonic() - t0), 2))
     # stream-parallel serving row: S=4 independent 720p streams through
-    # ONE vmapped scan (parallel/streams.py).  Aggregate fps shows how
-    # much of the per-step fixed cost the stream batch amortizes vs
-    # S * device_pipeline_fps / S (the serial bound).
-    from jsmpeg_tpu.models.mpeg1 import (build_fused_buffer_sized,
+    # ONE joint scan with the streams STACKED ALONG MB ROWS
+    # (parallel/streams.py 'stacked' mode, the round-4 default: every op
+    # keeps the single-stream 4D layout, just S x taller; the legacy
+    # vmapped formulation measured BELOW the serial bound in BENCH_r03 --
+    # 374 vs 603 fps -- and was replaced).  Aggregate fps vs
+    # device_pipeline_fps (the serial time-multiplexing bound) is the
+    # serving tier's whole thesis.
+    from jsmpeg_tpu.models.mpeg1 import (_bucket, build_fused_buffer_sized,
                                          fused_pair_bucket)
-    from jsmpeg_tpu.parallel.streams import decode_scan_fused_many
+    from jsmpeg_tpu.parallel.packed import split_packed_frames
+    from jsmpeg_tpu.parallel.streams import stack_stream_frames
     S = 4
-    n_pairs_m = fused_pair_bucket(len(batch['sp_pos']),
-                                  len(batch['sp_esc']))
-    bufm = build_fused_buffer_sized(batch, 32, n_pairs_m, n_runs,
-                                    seq.mb_size, mvw)
-    devm = jax.device_put(np.stack([bufm] * S))
-    zs = lambda hh, ww: jnp.zeros((S, hh, ww), dtype=jnp.uint8)
-    curm = Planes(zs(ch, cw), zs(ch >> 1, cw >> 1), zs(ch >> 1, cw >> 1))
-    kwm = dict(mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=32,
-               n_blk=n_blk, n_runs=n_runs,
-               band_halo=MPEG1Decoder._band_halo(batch), mv_wide=mvw)
-    r = decode_scan_fused_many(curm, curm, devm, iq, nq, **kwm)
-    np.asarray(fetch(r[2].y[-1, -1, :1, :4]))   # warm + force
+    frames_s = split_packed_frames(batch)
+    joint, vseg = stack_stream_frames([frames_s] * S, seq.mb_size, 32)
+    n_pairs_s = fused_pair_bucket(len(joint['sp_pos']),
+                                  len(joint['sp_esc']))
+    n_runs_s = _bucket(max(len(joint['run_len']), 1), lo=256)
+    n_blk_s = _bucket(max(joint['n_blocks'], 1), lo=1024)
+    bufs_s = build_fused_buffer_sized(joint, 32, n_pairs_s, n_runs_s,
+                                      S * seq.mb_size, mvw)
+    devs = jax.device_put(bufs_s)
+    vdev = jax.device_put(jnp.asarray(vseg))
+    zs = lambda hh, ww: jnp.zeros((S * hh, ww), dtype=jnp.uint8)
+    curs = Planes(zs(ch, cw), zs(ch >> 1, cw >> 1), zs(ch >> 1, cw >> 1))
+    kws = dict(mb_h=S * seq.mb_height, mb_w=seq.mb_width, n_frames=32,
+               n_blk=n_blk_s, n_runs=n_runs_s,
+               band_halo=MPEG1Decoder._band_halo(joint), mv_wide=mvw,
+               n_seg=S)
+    r = decode_scan_fused(curs, curs, devs, iq, nq, valid_seg=vdev, **kws)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
     t0 = time.monotonic()
     for _ in range(10):
-        r = decode_scan_fused_many(curm, curm, devm, iq, nq, **kwm)
-    np.asarray(fetch(r[2].y[-1, -1, :1, :4]))
+        r = decode_scan_fused(curs, curs, devs, iq, nq, valid_seg=vdev,
+                              **kws)
+    np.asarray(fetch(r[2].y[-1, :1, :4]))
     emit('device_multistream_fps',
-         {'streams': S,
+         {'streams': S, 'mode': 'stacked',
           'aggregate': round(S * 32 * 10 / (time.monotonic() - t0), 2)})
     # single-batch round-trip latency (dispatch + scan + 4-byte fetch)
     t0 = time.monotonic()
@@ -443,6 +455,53 @@ def device_rows(emit):
          {'block_until_ready': round(block_s * 200, 2),
           'fetch': round(fetch_s * 100, 2),
           'batch_round_trip': round((time.monotonic() - t0) / 3 * 1000, 2)})
+
+    # sustained H2D rate with the REAL 32-frame wire buffer (the e2e
+    # loop's transfer unit): enqueue R uploads, force ALL with one jitted
+    # consume + tiny fetch.  This turns the e2e-vs-device gap from a
+    # model into a measurement (round-3 verdict weak #5).
+    R = 10
+    t0 = time.monotonic()
+    ds = [jax.device_put(buf) for _ in range(R)]
+    np.asarray(fetch(jnp.stack([d[-1] for d in ds]).sum()))
+    up_s = time.monotonic() - t0
+    del ds
+    emit('upload_mb_s', round(len(buf) * R / 1e6 / up_s, 1))
+
+    # serial per-stage shares of the same 96-frame e2e job, each stage
+    # timed ALONE on its real inputs.  The e2e pipeline overlaps parse,
+    # upload, scan and fetch, so sum_s > e2e_wall_s means the overlap is
+    # working; the largest stage is the pipeline's ceiling.
+    t0 = time.monotonic()
+    from jsmpeg_tpu.host import best_parser
+    p2 = best_parser()
+    p2.write(es)
+    nb_batches = 0
+    while True:
+        b2 = p2.parse_batch(32, eof=True)
+        if not isinstance(b2, dict) or not b2.get('n', 0):
+            break
+        nb_batches += 1
+        if b2['n'] < 32:
+            break
+    parse_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    ds = [jax.device_put(buf) for _ in range(max(nb_batches, 1))]
+    np.asarray(fetch(jnp.stack([d[-1] for d in ds]).sum()))
+    upload_s = time.monotonic() - t0
+    del ds
+    scan_s = fetch_s / 10 * nb_batches          # per-batch sustained scan
+    t0 = time.monotonic()
+    for _ in range(max(nb_batches, 1)):
+        np.asarray(fetch(r[2].y[-1, :1, :4]))   # already forced: pure RPC
+    fetch_rpc_s = time.monotonic() - t0
+    wall = _median(times)
+    emit('e2e_attribution',
+         {'parse_s': round(parse_s, 3), 'upload_s': round(upload_s, 3),
+          'scan_s': round(scan_s, 3),
+          'fetch_rpc_s': round(fetch_rpc_s, 3),
+          'sum_s': round(parse_s + upload_s + scan_s + fetch_rpc_s, 3),
+          'e2e_wall_s': round(wall, 3)})
 
     # secondary: the coefficient-dense stress stream, e2e (one 32-frame
     # batch: ~10 MB on the wire per run, and exactly one extra jit variant)
@@ -534,7 +593,17 @@ def device_rows(emit):
 def _child_main(rows_path):
     """Device child: run every device metric, appending each completed row
     to rows_path as one JSON line, so the parent can recover partial
-    results if this process dies or is killed at timeout."""
+    results if this process dies or is killed at timeout.
+
+    Fault-injection hooks (tests/test_bench_resilience.py): the round-3
+    simulation (JAX_PLATFORMS=bogus) stopped failing when the platform
+    plugin started ignoring the variable, so the failure modes are now
+    injected explicitly."""
+    if os.environ.get('BENCH_FAIL_DEVICE'):
+        raise RuntimeError('injected device failure (BENCH_FAIL_DEVICE)')
+    if os.environ.get('BENCH_HANG_DEVICE'):
+        while True:                      # simulated backend-init hang
+            time.sleep(60)
     f = open(rows_path, 'a', buffering=1)
 
     def emit(key, value):

@@ -26,7 +26,7 @@ from ..ops.frame import FrameArrays, LevelsArrays, Planes, \
 def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
                      mb_h: int, mb_w: int, band_halo: int = None,
                      carry_layout: str = 'plane',
-                     mc_method: str = None):
+                     mc_method: str = None, n_seg: int = 1):
     """Shared lax.scan step for every levels-wire pipeline: dequant +
     IDCT + MC + assembly for one frame.  (A hand-scheduled Pallas
     dequant+IDCT alternative was measured slower than the XLA fusion and
@@ -36,7 +36,7 @@ def levels_scan_step(carry, la: LevelsArrays, intra_q, non_intra_q,
     return decode_frame_step(carry, fr, mb_h=mb_h, mb_w=mb_w,
                              band_halo=band_halo,
                              carry_layout=carry_layout,
-                             mc_method=mc_method)
+                             mc_method=mc_method, n_seg=n_seg)
 
 
 def frame_to_arrays(f: FrameData, valid: bool = True) -> FrameArrays:
@@ -243,23 +243,33 @@ def unpack_fused(buf: jnp.ndarray, n_frames: int, n_mb: int, n_runs: int,
                    static_argnames=('mb_h', 'mb_w', 'n_frames', 'n_blk',
                                     'n_runs', 'band_halo', 'mv_wide',
                                     'wire_ids', 'block_carry', 'n_pairs',
-                                    'n_esc', 'mc_method'))
+                                    'n_esc', 'mc_method', 'n_seg'))
 def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
                       intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                       mb_h: int, mb_w: int, n_frames: int, n_blk: int,
                       n_runs: int, band_halo: int = None,
                       mv_wide: bool = False, wire_ids: bool = False,
                       block_carry: bool = False, n_pairs: int = None,
-                      n_esc: int = None, mc_method: str = None):
+                      n_esc: int = None, mc_method: str = None,
+                      n_seg: int = 1, valid_seg: jnp.ndarray = None):
     """Single-upload variant of decode_scan_packed: the whole batch rides
     in ONE uint8 buffer (one transport round trip on high-latency links);
-    see unpack_fused for the wire layout."""
+    see unpack_fused for the wire layout.
+
+    n_seg > 1 decodes `n_seg` independent streams stacked along MB rows
+    as ONE joint frame per step (mb_h = n_seg * per-stream mb_h): motion
+    clamps at segment boundaries (ops/motion.py) and `valid_seg`
+    (bool [n_frames, n_seg]) masks each stream's padding frames so
+    unequal-length streams ride one scan (parallel/streams.py)."""
     valid, flags, cbp, mv16, sp_pos, sp_val, blk_dense = unpack_fused(
         buf, n_frames, mb_h * mb_w, n_runs, mv_wide,
         n_blk if wire_ids else 0, n_pairs=n_pairs, n_esc=n_esc)
+    if valid_seg is not None:
+        valid = valid[:, None] & valid_seg
     return _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val,
                         intra_q, non_intra_q, valid, mb_h, mb_w, n_blk,
-                        band_halo, blk_dense, block_carry, mc_method)
+                        band_halo, blk_dense, block_carry, mc_method,
+                        n_seg)
 
 
 # coefficient-scatter segment size: XLA compile time for one big scatter
@@ -337,7 +347,7 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'n_blk',
                                               'band_halo', 'block_carry',
-                                              'mc_method'))
+                                              'mc_method', 'n_seg'))
 def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        cbp: jnp.ndarray, mv16: jnp.ndarray,
                        sp_pos: jnp.ndarray, sp_val: jnp.ndarray,
@@ -346,7 +356,7 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
                        band_halo: int = None,
                        blk_dense: jnp.ndarray = None,
                        block_carry: bool = False,
-                       mc_method: str = None):
+                       mc_method: str = None, n_seg: int = 1):
     """Packed-wire pipeline: see packed_to_levels for the wire format.
 
     block_carry=True scans with the reference planes carried in MB-block
@@ -364,7 +374,7 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
         non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
         band_halo=band_halo,
         carry_layout='block' if block_carry else 'plane',
-        mc_method=mc_method)
+        mc_method=mc_method, n_seg=n_seg)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     if block_carry:
         cur = blocks_to_planes(cur, mb_h, mb_w)
@@ -379,12 +389,13 @@ def decode_scan_packed(cur: Planes, fwd: Planes, flags: jnp.ndarray,
 
 def _scan_packed(cur, fwd, flags, cbp, mv16, sp_pos, sp_val, intra_q,
                  non_intra_q, valid, mb_h, mb_w, n_blk, band_halo=None,
-                 blk_dense=None, block_carry=False, mc_method=None):
+                 blk_dense=None, block_carry=False, mc_method=None,
+                 n_seg=1):
     return decode_scan_packed.__wrapped__(cur, fwd, flags, cbp, mv16,
                                           sp_pos, sp_val, intra_q,
                                           non_intra_q, valid, mb_h, mb_w,
                                           n_blk, band_halo, blk_dense,
-                                          block_carry, mc_method)
+                                          block_carry, mc_method, n_seg)
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
@@ -717,6 +728,28 @@ class FrameSeq:
     def __iter__(self):
         for i in range(self._released, self._released + self._len):
             yield self[i]
+
+    def stacked_planes(self) -> Optional[Planes]:
+        """Every retained frame as ONE stacked Planes ([n, H, W] per
+        plane): whole-chunk slices concatenated in a single device op,
+        so a later host fetch costs 3 RPCs per BATCH instead of 3 per
+        frame (the demoted-stream serving path, parallel/streams.py).
+        None when nothing is retained."""
+        ys, crs, cbs = [], [], []
+        for c in self._chunks:
+            if isinstance(c, PlanesBatch):
+                o = c._outs
+                ys.append(o.y[:c._n])
+                crs.append(o.cr[:c._n])
+                cbs.append(o.cb[:c._n])
+            else:
+                ys.append(c.y[None])
+                crs.append(c.cr[None])
+                cbs.append(c.cb[None])
+        if not ys:
+            return None
+        cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)
+        return Planes(cat(ys), cat(crs), cat(cbs))
 
 
 class MPEG1Decoder:

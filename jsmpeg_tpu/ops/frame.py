@@ -140,12 +140,15 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
                         resid: jnp.ndarray = None,
                         band_halo=None,
                         carry_layout: str = 'plane',
-                        mc_method: str = None) -> Planes:
+                        mc_method: str = None,
+                        n_seg: int = 1) -> Planes:
     """One picture: returns the decoded planes (the caller handles the
     current/forward rotation).  `resid` overrides the IDCT of f.coef with
     precomputed [n_mb, 6, 8, 8] residuals (the Pallas fused-kernel path);
     `band_halo` (static, luma rows) bounds MV reach for the band-limited
-    one-hot motion compensation (ops/motion.py).
+    one-hot motion compensation (ops/motion.py).  `n_seg` > 1 marks the
+    frame as n_seg independent streams stacked along rows (the serving
+    formulation, parallel/streams.py): motion clamps at segment edges.
 
     carry_layout='block': cur/fwd arrive AND the result returns in
     MB-block layout ([mb_h, mb_w, blk, blk]).  Only the MC reference
@@ -192,7 +195,8 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
     mc_plane = ('fused' if mc_method == 'fused_pair' else mc_method)
     pred_y = motion_compensate(fwd_p.y, f.mv_h, f.mv_v, mb_h, mb_w, 16,
                                method=mc_plane,
-                               band_halo=band_halo, layout='block')
+                               band_halo=band_halo, layout='block',
+                               n_seg=n_seg)
     cmh = chroma_mv(f.mv_h)
     cmv = chroma_mv(f.mv_v)
     # NOTE: batching cr+cb through one concatenated INT8 contraction pair
@@ -205,14 +209,16 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
         from .motion import motion_compensate_multi
         pred_cr, pred_cb = motion_compensate_multi(
             (fwd_p.cr, fwd_p.cb), cmh, cmv, mb_h, mb_w, 8,
-            method='fused', band_halo=halo_c, layout='block')
+            method='fused', band_halo=halo_c, layout='block', n_seg=n_seg)
     else:
         pred_cr = motion_compensate(fwd_p.cr, cmh, cmv, mb_h, mb_w, 8,
                                     method=mc_plane,
-                                    band_halo=halo_c, layout='block')
+                                    band_halo=halo_c, layout='block',
+                                    n_seg=n_seg)
         pred_cb = motion_compensate(fwd_p.cb, cmh, cmv, mb_h, mb_w, 8,
                                     method=mc_plane,
-                                    band_halo=halo_c, layout='block')
+                                    band_halo=halo_c, layout='block',
+                                    n_seg=n_seg)
 
     base_y = jnp.where(written_y, pred_y, cur_b.y.astype(jnp.int32))
     base_cr = jnp.where(written_c, pred_cr, cur_b.cr.astype(jnp.int32))
@@ -229,20 +235,34 @@ def decode_frame_planes(cur: Planes, fwd: Planes, f: FrameArrays,
 def decode_frame_step(carry, f: FrameArrays, mb_h: int, mb_w: int,
                       resid: jnp.ndarray = None, band_halo: int = None,
                       carry_layout: str = 'plane',
-                      mc_method: str = None):
+                      mc_method: str = None, n_seg: int = 1):
     """lax.scan step over the frames of a GOP.
 
     carry = (cur, fwd): `fwd` is the reference (last decoded I/P picture),
     `cur` is the stale buffer being overwritten (the reference's pointer
-    rotation at src/mpeg1.js:220-246 expressed as a scan carry)."""
+    rotation at src/mpeg1.js:220-246 expressed as a scan carry).
+
+    f.valid is a scalar (whole frame is GOP padding) or, in the
+    stream-stacked formulation, a [n_seg] vector: each stacked stream's
+    rows keep/skip the rotation independently, so streams of unequal
+    length ride one joint scan."""
     cur, fwd = carry
     out = decode_frame_planes(cur, fwd, f, mb_h, mb_w, resid=resid,
                               band_halo=band_halo,
                               carry_layout=carry_layout,
-                              mc_method=mc_method)
+                              mc_method=mc_method, n_seg=n_seg)
 
     def keep(old, new):
-        return jnp.where(f.valid, new, old)
+        v = f.valid
+        if v.ndim == 0:
+            return jnp.where(v, new, old)
+        # per-segment valid: rows of invalid (padding) segments preserve
+        # the old value.  Works in both layouts -- the leading axis is
+        # mb_h (block layout) or H (plane layout), both divisible by
+        # n_seg
+        rows = old.shape[0] // v.shape[0]
+        mask = jnp.repeat(v, rows).reshape((-1,) + (1,) * (old.ndim - 1))
+        return jnp.where(mask, new, old)
 
     out = Planes(*[keep(o, n) for o, n in zip(fwd, out)])
     new_cur = Planes(*[keep(c, x) for c, x in zip(cur, fwd)])

@@ -35,9 +35,24 @@ def _pixel_mv(mv: jnp.ndarray, mb_h: int, mb_w: int, block: int):
     return jnp.repeat(jnp.repeat(grid, block, axis=0), block, axis=1)
 
 
+def _seg_row_bounds(mb_h: int, n_seg: int, block: int):
+    """Per-MB-row vertical clamp bounds in ABSOLUTE plane rows when the
+    plane is `n_seg` independent segments stacked along rows (the
+    stream-stacked serving formulation, parallel/streams.py): MB row a of
+    segment s may only source rows [s*Hs, (s+1)*Hs).  Clamping to the
+    segment edge IS the reference's frame-edge row clamp applied per
+    stream -- bit-exact vs decoding each stream alone.  Returns (lo, hi)
+    int32 [mb_h, 1, 1]."""
+    assert mb_h % n_seg == 0
+    hs = (mb_h // n_seg) * block
+    seg = jnp.arange(mb_h, dtype=jnp.int32) // (mb_h // n_seg)
+    lo = (seg * hs)[:, None, None]
+    return lo, lo + (hs - 1)
+
+
 def _mc_gather(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                mb_h: int, mb_w: int, block: int,
-               layout: str = 'plane') -> jnp.ndarray:
+               layout: str = 'plane', n_seg: int = 1) -> jnp.ndarray:
     H, W = ref.shape
     mvh = _pixel_mv(mv_h, mb_h, mb_w, block)
     mvv = _pixel_mv(mv_v, mb_h, mb_w, block)
@@ -49,10 +64,17 @@ def _mc_gather(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     oy = mvv & 1
     ox = mvh & 1
 
+    if n_seg > 1:
+        hs = H // n_seg
+        ylo = (iy // hs) * hs           # per-output-row segment bounds
+        yhi = ylo + (hs - 1)
+    else:
+        ylo, yhi = 0, H - 1
+
     flat = ref.reshape(-1).astype(jnp.int32)
 
     def g(y, x):
-        y = jnp.clip(y, 0, H - 1)
+        y = jnp.clip(y, ylo, yhi)
         x = jnp.clip(x, 0, W - 1)
         return jnp.take(flat, y * W + x, axis=0)
 
@@ -92,7 +114,7 @@ def combine_taps(win: jnp.ndarray, oy: jnp.ndarray, ox: jnp.ndarray,
 
 def _mc_onehot(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                mb_h: int, mb_w: int, block: int,
-               layout: str = 'plane') -> jnp.ndarray:
+               layout: str = 'plane', n_seg: int = 1) -> jnp.ndarray:
     H, W = ref.shape
     B1 = block + 1
     vy = jnp.right_shift(mv_v, 1).reshape(mb_h, mb_w)
@@ -104,8 +126,11 @@ def _mc_onehot(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
     taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
     # per-(MB, tap) source coordinates, clamped exactly like the gather
-    # path clamps each tap (window row r == sy + r_offset)
-    rows = jnp.clip(base_r + vy[:, :, None] + taps, 0, H - 1)
+    # path clamps each tap (window row r == sy + r_offset); with n_seg
+    # stacked segments the row clamp lands on the SEGMENT edge
+    rlo, rhi = (_seg_row_bounds(mb_h, n_seg, block) if n_seg > 1
+                else (0, H - 1))
+    rows = jnp.clip(base_r + vy[:, :, None] + taps, rlo, rhi)
     cols = jnp.clip(base_c + vx[:, :, None] + taps, 0, W - 1)
 
     refb = (ref.astype(jnp.int16) - 128).astype(jnp.int8)
@@ -124,10 +149,23 @@ def _mc_onehot(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     return combine_taps(win + 128, oy, ox, block, layout)
 
 
+def _seg_band_bounds(mb_h: int, n_seg: int, block: int, band_v: int,
+                     band_rows: int):
+    """`_seg_row_bounds` translated into BAND coordinates (band row j of
+    MB row a is absolute row a*block + j - band_v).  Returns (lo, hi)
+    int32 [mb_h, 1, 1] clamp bounds for band-limited row selection."""
+    lo_abs, hi_abs = _seg_row_bounds(mb_h, n_seg, block)
+    shift = ((jnp.arange(mb_h, dtype=jnp.int32) * block)[:, None, None]
+             - band_v)
+    lo = jnp.clip(lo_abs - shift, 0, band_rows - 1)
+    hi = jnp.clip(hi_abs - shift, 0, band_rows - 1)
+    return lo, hi
+
+
 def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                     mb_h: int, mb_w: int, block: int,
                     band_v: int, band_h: int = 0,
-                    layout: str = 'plane') -> jnp.ndarray:
+                    layout: str = 'plane', n_seg: int = 1) -> jnp.ndarray:
     """Band-limited one-hot MC: every MB row's sources live within
     `band_v` rows of its origin (callers derive the band from the batch's
     actual MVs, so the bound always holds for the data decoded).  The
@@ -144,7 +182,7 @@ def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     """
     if band_h:
         return _mc_onehot_band_grouped(ref, mv_h, mv_v, mb_h, mb_w, block,
-                                       band_v, band_h, layout)
+                                       band_v, band_h, layout, n_seg)
     H, W = ref.shape
     B1 = block + 1
     assert band_v % block == 0
@@ -169,7 +207,9 @@ def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 
     taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
     base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
-    rows = jnp.clip(vy[:, :, None] + taps + band_v, 0, band_rows - 1)
+    rlo, rhi = (_seg_band_bounds(mb_h, n_seg, block, band_v, band_rows)
+                if n_seg > 1 else (0, band_rows - 1))
+    rows = jnp.clip(vy[:, :, None] + taps + band_v, rlo, rhi)
     cols = jnp.clip(base_c + vx[:, :, None] + taps, 0, W - 1)
 
     oh_c = (cols[..., None] ==
@@ -187,9 +227,10 @@ def _mc_onehot_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 def _mc_onehot_band_grouped(ref: jnp.ndarray, mv_h: jnp.ndarray,
                             mv_v: jnp.ndarray, mb_h: int, mb_w: int,
                             block: int, band_v: int, band_h: int,
-                            layout: str = 'plane') -> jnp.ndarray:
+                            layout: str = 'plane',
+                            n_seg: int = 1) -> jnp.ndarray:
     return _mc_grouped_multi((ref,), mv_h, mv_v, mb_h, mb_w, block,
-                             band_v, band_h, layout)[0]
+                             band_v, band_h, layout, n_seg)[0]
 
 
 def _grouped_band_setup(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
@@ -258,7 +299,7 @@ def _grouped_band_setup(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
                       mv_v: jnp.ndarray, mb_h: int, mb_w: int,
                       block: int, band_v: int, band_h: int,
-                      layout: str = 'plane'):
+                      layout: str = 'plane', n_seg: int = 1):
     """Row-band + grouped-column band one-hot MC (`_grouped_band_setup`
     geometry): ~10x smaller one-hot materialization than the full-width
     band while the per-group matmul stays MXU-shaped ([band_rows, span]
@@ -271,7 +312,9 @@ def _mc_grouped_multi(refs, mv_h: jnp.ndarray,
             refs, mv_h, mv_v, mb_h, mb_w, block, band_v, band_h, jnp.int8)
 
     taps = jnp.arange(B1, dtype=jnp.int32)[None, None, :]
-    rows = jnp.clip(vy[:, :, None] + taps + band_v, 0, band_rows - 1)
+    rlo, rhi = (_seg_band_bounds(mb_h, n_seg, block, band_v, band_rows)
+                if n_seg > 1 else (0, band_rows - 1))
+    rows = jnp.clip(vy[:, :, None] + taps + band_v, rlo, rhi)
     base_l = ((jnp.arange(mb_w_pad, dtype=jnp.int32) % G)
               * block)[None, :, None]
     cols = jnp.clip(base_l + vx[:, :, None] + taps + marg, 0, span - 1)
@@ -326,7 +369,7 @@ def _fused_tap_weights(idx: jnp.ndarray, odd: jnp.ndarray,
 def _mc_fused_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                    mb_h: int, mb_w: int, block: int,
                    band_v: int, band_h: int = 0,
-                   layout: str = 'plane') -> jnp.ndarray:
+                   layout: str = 'plane', n_seg: int = 1) -> jnp.ndarray:
     """Band-limited MC with the half-pel taps FOLDED INTO the one-hot
     weights: column weights {2,1} and row weights {2,1} over (p - 128)
     bfloat16 band values, so the two matmuls directly produce the
@@ -345,7 +388,8 @@ def _mc_fused_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     459-687 semantics, same identity as the module docstring)."""
     if band_h:
         return _mc_fused_grouped_multi((ref,), mv_h, mv_v, mb_h, mb_w,
-                                       block, band_v, band_h, layout)[0]
+                                       block, band_v, band_h, layout,
+                                       n_seg)[0]
     H, W = ref.shape
     assert band_v % block == 0
     nwin = 2 * (band_v // block) + 1
@@ -368,7 +412,14 @@ def _mc_fused_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     taps = jnp.arange(block, dtype=jnp.int32)[None, None, :]
     base_c = (jnp.arange(mb_w, dtype=jnp.int32) * block)[None, :, None]
     w_c = _fused_tap_weights(base_c + vx[:, :, None] + taps, ox, W)
-    w_r = _fused_tap_weights(vy[:, :, None] + taps + band_v, oy, band_rows)
+    ridx = vy[:, :, None] + taps + band_v
+    if n_seg > 1:
+        rlo, rhi = _seg_band_bounds(mb_h, n_seg, block, band_v, band_rows)
+        w_r = _fused_tap_weights_pair(jnp.clip(ridx, rlo, rhi),
+                                      jnp.clip(ridx + 1, rlo, rhi),
+                                      oy, band_rows)
+    else:
+        w_r = _fused_tap_weights(ridx, oy, band_rows)
 
     win_c = jnp.einsum('ahw,abcw->abhc', band, w_c,
                        preferred_element_type=jnp.bfloat16)
@@ -383,7 +434,7 @@ def _mc_fused_band(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 def _mc_fused_grouped_multi(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                             mb_h: int, mb_w: int, block: int,
                             band_v: int, band_h: int,
-                            layout: str = 'plane'):
+                            layout: str = 'plane', n_seg: int = 1):
     """Grouped-column variant of `_mc_fused_band` (same group geometry as
     `_mc_grouped_multi` via `_grouped_band_setup`, same exactness
     argument as `_mc_fused_band`); `refs` planes share the motion
@@ -402,8 +453,14 @@ def _mc_fused_grouped_multi(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
     w_c = _fused_tap_weights(cols, ox.reshape(mb_h, n_grp, G), span)
     if P > 1:
         w_c = jnp.concatenate([w_c] * P, axis=1)
-    w_r = _fused_tap_weights(vy[:, :, None] + taps + band_v, oy,
-                             band_rows)
+    ridx = vy[:, :, None] + taps + band_v
+    if n_seg > 1:
+        rlo, rhi = _seg_band_bounds(mb_h, n_seg, block, band_v, band_rows)
+        w_r = _fused_tap_weights_pair(jnp.clip(ridx, rlo, rhi),
+                                      jnp.clip(ridx + 1, rlo, rhi),
+                                      oy, band_rows)
+    else:
+        w_r = _fused_tap_weights(ridx, oy, band_rows)
 
     win_c = jnp.einsum('aghw,agbcw->agbhc', gband, w_c,
                        preferred_element_type=jnp.bfloat16)
@@ -434,7 +491,8 @@ def band_halo_for(max_abs_mv: int, block: int = 16) -> int:
 def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                       mb_h: int, mb_w: int, block: int,
                       method: str = None,
-                      band_halo=None, layout: str = 'plane') -> jnp.ndarray:
+                      band_halo=None, layout: str = 'plane',
+                      n_seg: int = 1) -> jnp.ndarray:
     """ref: uint8 [H, W] reference plane; mv_*: int32 [n_mb] in this plane's
     half-pel units (chroma callers pass the /2-truncated vectors).
     Returns int32 [H, W] prediction.  method: 'onehot' | 'fused' |
@@ -448,7 +506,12 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
 
     The accelerator default flipped onehot -> fused on the round-3
     on-chip capture (BENCH_r03: 786.73 vs 603.55 fps device pipeline,
-    +30%; bit-exact, tests/test_motion_onehot.py)."""
+    +30%; bit-exact, tests/test_motion_onehot.py).
+
+    n_seg > 1 treats the plane as n_seg independent segments stacked
+    along rows (the stream-stacked serving formulation): source rows
+    clamp at SEGMENT edges, so motion never reads across a stream
+    boundary and each segment decodes bit-exactly as if alone."""
     if method is None:
         method = 'gather' if jax.default_backend() == 'cpu' else 'fused'
     if method in ('onehot', 'fused'):
@@ -463,18 +526,19 @@ def motion_compensate(ref: jnp.ndarray, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
             if bv and (bv < mb_h * block
                        or (bh and bh < mb_w * block)):
                 return banded(ref, mv_h, mv_v, mb_h, mb_w, block,
-                              bv, bh, layout)
+                              bv, bh, layout, n_seg)
         # no usable band: the full-window one-hot serves both methods
         # (bit-identical results; 'fused' only exists as a banded form)
         return _mc_onehot(ref, mv_h, mv_v, mb_h, mb_w, block,
-                          layout=layout)
-    return _mc_gather(ref, mv_h, mv_v, mb_h, mb_w, block, layout=layout)
+                          layout=layout, n_seg=n_seg)
+    return _mc_gather(ref, mv_h, mv_v, mb_h, mb_w, block, layout=layout,
+                      n_seg=n_seg)
 
 
 def motion_compensate_multi(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                             mb_h: int, mb_w: int, block: int,
                             method: str = None, band_halo=None,
-                            layout: str = 'plane'):
+                            layout: str = 'plane', n_seg: int = 1):
     """Motion-compensate several same-shape planes sharing one MV field
     (the two chroma planes).  With method='fused' and a usable 2D band
     (same usefulness guard as `motion_compensate`: the band must be
@@ -487,10 +551,11 @@ def motion_compensate_multi(refs, mv_h: jnp.ndarray, mv_v: jnp.ndarray,
                   else (band_halo, band_halo))
         if bv and bh and (bv < mb_h * block or bh < mb_w * block):
             return _mc_fused_grouped_multi(refs, mv_h, mv_v, mb_h, mb_w,
-                                           block, bv, bh, layout)
+                                           block, bv, bh, layout, n_seg)
     return tuple(motion_compensate(r, mv_h, mv_v, mb_h, mb_w, block,
                                    method=method, band_halo=band_halo,
-                                   layout=layout) for r in refs)
+                                   layout=layout, n_seg=n_seg)
+                 for r in refs)
 
 
 def chroma_mv(mv: jnp.ndarray) -> jnp.ndarray:

@@ -1,23 +1,37 @@
 """Stream-parallel decode on ONE chip: N independent MPEG1 streams ride
-a single vmapped scan.
+a single jointly-dispatched scan.
 
 The reference player decodes exactly one stream per instance
 (/root/reference/src/player.js:27-55); production TPU serving wants many
 camera feeds per chip.  A single 720p stream's device rate is bounded by
 the SEQUENTIAL P-frame scan -- per-step fixed costs (masks, relayouts,
-dispatch) don't shrink with the work -- so decoding S streams as a
-[S, ...] batch through one `jax.vmap`'d scan amortizes those costs and
-fills the MXU with S frames of matmuls per step: aggregate throughput
-approaches S times the useful work per step long before S chips are
-needed.
+dispatch) don't shrink with the work -- so decoding S streams jointly
+amortizes those costs and fills the MXU with S frames of matmuls per
+step.
 
-Mechanics: every stream parses on the host as usual; each joint batch
-builds one fused wire buffer per stream with SHARED static bucket sizes
-(max over streams, the mesh-cell trick from parallel/packed.py), stacks
-them [S, L], and dispatches ONE program.  Streams of unequal length ride
-their own per-frame valid masks (a finished stream's carry is preserved
-by the masked scan step), so nothing forces the feeds to stay in
-lockstep at EOF.
+Two formulations, A/B'd on chip:
+
+  - 'stacked' (default): the S streams STACK ALONG MB ROWS into one
+    joint frame per step (mb_h -> S*mb_h) -- every device op keeps the
+    exact 4D layout of the single-stream pipeline, just taller.  Motion
+    compensation clamps source rows at segment boundaries
+    (ops/motion.py n_seg), which IS the per-stream frame-edge clamp, so
+    the joint decode is bit-exact vs decoding each stream alone.
+    Unequal-length streams ride a per-(frame, stream) valid mask whose
+    rows keep/skip the carry rotation independently.
+  - 'vmap': one `jax.vmap`'d scan over [S, ...] stacks.  Measured WORSE
+    than serial time-multiplexing on chip (BENCH_r03: 374 fps aggregate
+    at S=4 vs 603 single-stream -- the vmapped 5D einsums force layout
+    relayouts, the same failure mode as the rejected chroma pairing in
+    docs/PERF_ANALYSIS.md); retained for A/B only.
+
+Mechanics (stacked): every stream parses on the host as usual; each
+joint batch interleaves the streams' per-frame packed records
+(frame f = stream 0's frame f over stream 1's frame f over ...) into
+ONE fused wire buffer over the joint S*mb_h x mb_w grid, and dispatches
+ONE program.  A stream with no frame f contributes a padding slab
+(flags 0) masked by the valid plane, so nothing forces the feeds to
+stay in lockstep at EOF.
 """
 
 from __future__ import annotations
@@ -33,6 +47,9 @@ from ..models.mpeg1 import (MPEG1Decoder, _bucket, build_fused_buffer_sized,
                             decode_scan_fused, fused_pair_bucket,
                             mv_fits_narrow)
 from ..ops.frame import Planes
+from .packed import _RUN_CAP, split_packed_frames
+
+_POPCOUNT8 = np.array([bin(x).count('1') for x in range(256)], np.int64)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -57,6 +74,56 @@ def decode_scan_fused_many(cur: Planes, fwd: Planes, bufs: jnp.ndarray,
             wire_ids=wire_ids, mc_method=mc_method)
 
     return jax.vmap(one)(cur, fwd, bufs)
+
+
+def _pad_frame_dict(n_mb: int) -> dict:
+    """One stream-frame's worth of padding records (flags 0: not written,
+    not coded; the device's valid mask hides the rows anyway)."""
+    k = -(-n_mb // _RUN_CAP)
+    lens = np.full(k, _RUN_CAP, np.int64)
+    lens[-1] = n_mb - (k - 1) * _RUN_CAP
+    return dict(run_len=lens.astype(np.uint16),
+                run_flags=np.zeros(k, np.uint8),
+                run_cbp=np.zeros(k, np.uint8),
+                run_mv=np.zeros((k, 2), np.int16),
+                sp_pos=np.zeros(0, np.uint8),
+                sp_v8=np.zeros(0, np.int8),
+                sp_esc=np.zeros(0, np.int16))
+
+
+def stack_stream_frames(per_stream: List[List[dict]], n_mb: int,
+                        n_frames: int):
+    """Interleave S streams' per-frame packed dicts
+    (split_packed_frames output) into ONE joint batch over the stacked
+    S*n_mb grid: joint frame f = every stream's frame f concatenated in
+    stream order (stream i owns MB rows [i*mb_h, (i+1)*mb_h)).  Streams
+    shorter than n_frames pad with flags-0 slabs.  Returns (batch dict
+    for build_fused_buffer_sized, valid bool [n_frames, S])."""
+    s = len(per_stream)
+    pad = _pad_frame_dict(n_mb)
+    parts = []
+    valid = np.zeros((n_frames, s), bool)
+    for f in range(n_frames):
+        for i, frames in enumerate(per_stream):
+            if f < len(frames):
+                parts.append(frames[f])
+                valid[f, i] = True
+            else:
+                parts.append(pad)
+    cat = lambda k: np.concatenate([p[k] for p in parts])
+    rl = cat('run_len').astype(np.uint16)
+    rc = cat('run_cbp').astype(np.uint8)
+    batch = dict(
+        n=n_frames,
+        run_len=rl,
+        run_flags=cat('run_flags').astype(np.uint8),
+        run_cbp=rc,
+        run_mv=np.concatenate([p['run_mv'] for p in parts]).astype(np.int16),
+        sp_pos=cat('sp_pos').astype(np.uint8),
+        sp_v8=cat('sp_v8').astype(np.int8),
+        sp_esc=cat('sp_esc').astype(np.int16),
+        n_blocks=int((_POPCOUNT8[rc] * rl.astype(np.int64)).sum()))
+    return batch, valid
 
 
 def _merge_halo(halos):
@@ -90,10 +157,17 @@ class MultiStreamDecoder:
                  mc_method: str = None,
                  streaming: bool = False,
                  buffer_size: int = 512 * 1024,
-                 quarantine: bool = False):
+                 quarantine: bool = False,
+                 mode: str = 'stacked'):
         from ..host import best_parser
         self.n = n_streams
         self.batch_frames = batch_frames
+        # joint-dispatch formulation: 'stacked' (streams stacked along MB
+        # rows, one 4D pipeline -- the default) or 'vmap' (legacy [S,...]
+        # vmapped scan, kept for A/B; loses to stacked on chip)
+        if mode not in ('stacked', 'vmap'):
+            raise ValueError(f'unknown multi-stream mode {mode!r}')
+        self.mode = mode
         # streaming=True applies the reference's EVICT-mode memory bound
         # per stream (videoBufferSize semantics): a long-running serving
         # process must not grow with hours of consumed bitstream
@@ -166,9 +240,24 @@ class MultiStreamDecoder:
 
     def _zero_carry(self, seq):
         cw, ch = seq.coded_width, seq.coded_height
-        z = lambda hh, ww: jnp.zeros((self.n, hh, ww), dtype=jnp.uint8)
+        if self.mode == 'stacked':
+            # joint planes: stream i owns rows [i*ch, (i+1)*ch)
+            z = lambda hh, ww: jnp.zeros((self.n * hh, ww),
+                                         dtype=jnp.uint8)
+        else:
+            z = lambda hh, ww: jnp.zeros((self.n, hh, ww),
+                                         dtype=jnp.uint8)
         p = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
         return p, p
+
+    def _carry_of(self, planes: Planes, i: int, seq) -> Planes:
+        """Stream i's planes out of the joint carry (either layout)."""
+        if self.mode == 'stacked':
+            ch = seq.coded_height
+            return Planes(planes.y[i * ch:(i + 1) * ch],
+                          planes.cr[i * (ch >> 1):(i + 1) * (ch >> 1)],
+                          planes.cb[i * (ch >> 1):(i + 1) * (ch >> 1)])
+        return Planes(planes.y[i], planes.cr[i], planes.cb[i])
 
     def _demote(self, i: int, pending: Optional[dict]) -> List[Planes]:
         """Hand stream i to its own serial-capable MPEG1Decoder (its
@@ -187,19 +276,18 @@ class MultiStreamDecoder:
         dec.parser = self.parsers[i]
         if self._carry is not None:
             cur, fwd = self._carry
-            dec._cur = Planes(cur.y[i], cur.cr[i], cur.cb[i])
-            dec._fwd = Planes(fwd.y[i], fwd.cr[i], fwd.cb[i])
+            dec._cur = self._carry_of(cur, i, self._seq)
+            dec._fwd = self._carry_of(fwd, i, self._seq)
         elif self.parsers[i].seq is not None:
             dec._init_planes()          # demoted before any joint batch
         dec.can_play = True
         self._demoted[i] = dec
-        out = []
         if pending is not None and pending.get('n', 0):
             planes = dec._dispatch_batch(pending,
                                          n_frames=pending['n'])
-            for k in range(pending['n']):
-                out.append(Planes(planes.y[k], planes.cr[k], planes.cb[k]))
-        return out
+            n = pending['n']
+            return Planes(planes.y[:n], planes.cr[:n], planes.cb[:n])
+        return None
 
     def decode_batch(self, eof: bool = False) -> Optional[List[Planes]]:
         """Parse up to batch_frames per stream, dispatch one joint scan,
@@ -215,9 +303,22 @@ class MultiStreamDecoder:
                 batches.append(dict(n=0))
                 if i in self._demoted:
                     fr = self._demoted[i].decode_available(eof=eof)
-                    demoted_frames[i] = list(fr or [])
+                    # whole-batch device slices (3 RPCs per batch on a
+                    # later fetch, not 3 per frame)
+                    demoted_frames[i] = (fr.stacked_planes()
+                                         if fr is not None else None)
                 continue
-            b = p.parse_batch(F, eof=eof)
+            try:
+                b = p.parse_batch(F, eof=eof)
+            except Exception as e:              # noqa: BLE001
+                # serving posture: a feed whose bitstream breaks its own
+                # parser is quarantined with the reason; the fleet's
+                # other feeds keep decoding
+                if not self.quarantine:
+                    raise
+                self.dead[i] = f'parse error: {e!r}'
+                batches.append(dict(n=0))
+                continue
             if b == 'fallback' or (isinstance(b, dict) and b.get('n', 0)
                                    and 'sp_pos' not in b):
                 # a per-stream condition the joint wire cannot carry:
@@ -253,7 +354,8 @@ class MultiStreamDecoder:
                 del self._demoted[i]
                 demoted_frames.pop(i, None)
         counts = [b.get('n', 0) for b in batches]
-        have_demoted = any(len(v) for v in demoted_frames.values())
+        have_demoted = any(v is not None and v.y.shape[0]
+                           for v in demoted_frames.values())
         if seq is None or (not any(counts) and not have_demoted
                            and not newly_demoted):
             # a round that just demoted a stream returns an empty result
@@ -275,7 +377,6 @@ class MultiStreamDecoder:
                      sp_pos=np.zeros(0, np.uint8),
                      sp_v8=np.zeros(0, np.int8),
                      sp_esc=np.zeros(0, np.int16), n_blocks=0)
-        batches = [b if b.get('n', 0) else empty for b in batches]
 
         # shared statics across streams (one jit variant), as mesh cells
         # do, and monotone across batches: a smaller tail batch reuses
@@ -286,6 +387,49 @@ class MultiStreamDecoder:
             self._sticky[key] = val
             return val
 
+        if self._carry is None:
+            self._carry = self._zero_carry(seq)
+        if self._quant is None:
+            self._quant = jax.device_put(
+                (jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32),
+                 jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)))
+        iq, nq = self._quant
+
+        if self.mode == 'stacked':
+            per_stream = [split_packed_frames(b) if b.get('n', 0) else []
+                          for b in batches]
+            joint, vseg = stack_stream_frames(per_stream, n_mb, F)
+            n_pairs = grow('pairs',
+                           fused_pair_bucket(len(joint['sp_pos']),
+                                             len(joint['sp_esc'])))
+            n_runs = grow('runs',
+                          _bucket(max(len(joint['run_len']), 1), lo=256))
+            n_blk = grow('blk',
+                         _bucket(max(joint['n_blocks'], 1), lo=1024))
+            mv_wide = (self._sticky.get('mv_wide', False)
+                       or not mv_fits_narrow(joint['run_mv']))
+            self._sticky['mv_wide'] = mv_wide
+            halo = MPEG1Decoder._band_halo(joint)
+            buf = build_fused_buffer_sized(
+                joint, F, n_pairs, n_runs, self.n * n_mb, mv_wide,
+                ids_blk=n_blk if self.wire_ids else 0)
+            dev = jax.device_put(buf)
+            cur, fwd, outs = decode_scan_fused(
+                self._carry[0], self._carry[1], dev, iq, nq,
+                mb_h=self.n * seq.mb_height, mb_w=seq.mb_width,
+                n_frames=F, n_blk=n_blk, n_runs=n_runs, band_halo=halo,
+                mv_wide=mv_wide, block_carry=self.block_carry,
+                wire_ids=self.wire_ids, mc_method=self.mc_method,
+                n_seg=self.n, valid_seg=jnp.asarray(vseg))
+            self._carry = (cur, fwd)
+            ch, hh = seq.coded_height, seq.coded_height >> 1
+            result = [Planes(outs.y[:c, i * ch:(i + 1) * ch],
+                             outs.cr[:c, i * hh:(i + 1) * hh],
+                             outs.cb[:c, i * hh:(i + 1) * hh])
+                      for i, c in enumerate(counts)]
+            return self._overlay_demoted(result, demoted_frames)
+
+        batches = [b if b.get('n', 0) else empty for b in batches]
         n_pairs = grow('pairs',
                        max(fused_pair_bucket(len(b['sp_pos']),
                                              len(b['sp_esc']))
@@ -308,13 +452,6 @@ class MultiStreamDecoder:
                                      ids_blk=n_blk if self.wire_ids else 0)
             for b in batches])
         dev = jax.device_put(bufs)
-        if self._carry is None:
-            self._carry = self._zero_carry(seq)
-        if self._quant is None:
-            self._quant = jax.device_put(
-                (jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32),
-                 jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)))
-        iq, nq = self._quant
         cur, fwd, outs = decode_scan_fused_many(
             self._carry[0], self._carry[1], dev, iq, nq,
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
@@ -328,11 +465,13 @@ class MultiStreamDecoder:
 
     @staticmethod
     def _overlay_demoted(result, demoted_frames):
-        for i, lst in demoted_frames.items():
-            if lst:
-                result[i] = Planes(jnp.stack([p.y for p in lst]),
-                                   jnp.stack([p.cr for p in lst]),
-                                   jnp.stack([p.cb for p in lst]))
+        """Splice demoted streams' outputs in.  Each value is already ONE
+        stacked Planes built from whole-batch device slices
+        (FrameSeq.stacked_planes / _demote) -- never per-frame slices,
+        which cost 3 RPCs per FRAME on a tunneled transport."""
+        for i, st in demoted_frames.items():
+            if st is not None and st.y.shape[0]:
+                result[i] = st
         return result
 
     def decode_all(self, eof: bool = True) -> List[List[Planes]]:

@@ -265,3 +265,41 @@ def test_tiled_mc_fused_equals_gather(seed):
     blk = np.asarray(_mc_tiled_fused(*args, layout='block'))
     np.testing.assert_array_equal(
         a, blk.transpose(0, 2, 1, 3).reshape(mb_h_local * block, W))
+
+
+@pytest.mark.parametrize('method', ['gather', 'onehot', 'fused'])
+@pytest.mark.parametrize('halo', [None, 16, (32, 32)])
+def test_segment_clamp_equals_independent(method, halo):
+    """n_seg > 1 (the stream-stacked serving formulation) must equal
+    motion-compensating each segment ALONE -- the per-segment row clamp
+    (ops/motion._seg_row_bounds) is each stream's own frame-edge clamp.
+    MVs deliberately reach far outside the frame (the corrupt-stream
+    case), so without the clamp every method would read the neighboring
+    segment's pixels."""
+    from jsmpeg_tpu.ops.motion import motion_compensate
+    rng = np.random.default_rng(7)
+    mb_h_seg, mb_w, block = 4, 6, 16
+    H, W = mb_h_seg * block, mb_w * block
+    segs = [rng.integers(0, 256, (H, W)).astype(np.uint8)
+            for _ in range(2)]
+    joint = jnp.asarray(np.concatenate(segs))
+    n_mb = mb_h_seg * mb_w
+    mvh = jnp.asarray(rng.integers(-200, 200, 2 * n_mb), jnp.int32)
+    mvv = jnp.asarray(rng.integers(-200, 200, 2 * n_mb), jnp.int32)
+    got = np.asarray(motion_compensate(joint, mvh, mvv, 2 * mb_h_seg,
+                                       mb_w, block, method=method,
+                                       band_halo=halo, n_seg=2))
+    ref = np.concatenate([
+        np.asarray(motion_compensate(jnp.asarray(segs[i]),
+                                     mvh[i * n_mb:(i + 1) * n_mb],
+                                     mvv[i * n_mb:(i + 1) * n_mb],
+                                     mb_h_seg, mb_w, block, method=method,
+                                     band_halo=halo))
+        for i in range(2)])
+    np.testing.assert_array_equal(got, ref)
+    # and the clamp is load-bearing: without it the MVs read across the
+    # segment boundary
+    un = np.asarray(motion_compensate(joint, mvh, mvv, 2 * mb_h_seg,
+                                      mb_w, block, method=method,
+                                      band_halo=halo, n_seg=1))
+    assert not np.array_equal(un, ref)

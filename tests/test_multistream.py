@@ -1,7 +1,8 @@
 """Stream-parallel decode (parallel/streams.py): N independent streams
-through one vmapped scan must be bit-exact vs decoding each stream alone
-with the serial fused pipeline, including unequal lengths (per-stream
-valid masks) and multi-batch carries."""
+through one joint dispatch (stacked-rows default, legacy vmap A/B) must
+be bit-exact vs decoding each stream alone with the serial fused
+pipeline, including unequal lengths (per-stream valid masks) and
+multi-batch carries."""
 
 import numpy as np
 import pytest
@@ -65,6 +66,43 @@ def test_incremental_write_and_eof_tail():
     dec.write(1, b)
     frames = dec.decode_all(eof=True)
     _check([a, b], frames)
+
+
+def test_vmap_mode_bit_exact():
+    """The legacy vmapped formulation (kept for A/B) still decodes
+    bit-exactly, including an unequal-length stream."""
+    streams = [
+        encode_realistic_stream(160, 96, n_frames=9, seed=s, gop=4)[0]
+        for s in (71, 72)]
+    streams.append(
+        encode_realistic_stream(160, 96, n_frames=3, seed=73, gop=3)[0])
+    dec = MultiStreamDecoder(3, batch_frames=4, mode='vmap')
+    for i, es in enumerate(streams):
+        dec.write(i, es)
+    got = dec.decode_all(eof=True)
+    _check(streams, got)
+
+
+def test_stacked_segment_clamp_is_load_bearing():
+    """The stacked formulation's per-segment MV row clamp
+    (ops/motion._seg_row_bounds) must engage: an f_code=5 stream's MVs
+    reach past its own frame edge, where serial decode clamps at the
+    frame edge -- the stacked decode must clamp at the SEGMENT edge
+    (same rows), never read the neighboring stream.  Decoding the same
+    wide stream beside two different neighbors must give identical
+    frames."""
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    wide = encode_test_stream(96, 64, n_frames=5, seed=81, gop=5,
+                              f_code=5)[0]
+    a = encode_realistic_stream(96, 64, n_frames=5, seed=82, gop=5)[0]
+    b = encode_test_stream(96, 64, n_frames=5, seed=83, gop=5,
+                           qscale=8)[0]
+    got_a = decode_streams_offline([wide, a], batch_frames=8)
+    got_b = decode_streams_offline([b, wide], batch_frames=8)
+    _check([wide], [got_a[0]])
+    _check([wide], [got_b[1]])
+    for p, q in zip(got_a[0], got_b[1]):
+        np.testing.assert_array_equal(np.asarray(p.y), np.asarray(q.y))
 
 
 def test_mixed_resolution_rejected():
@@ -269,6 +307,39 @@ def test_single_quirk_stream_not_lost():
     assert len(got[0]) == len(ref) == 2
     for p, r in zip(got[0], ref):
         np.testing.assert_array_equal(np.asarray(p.y), r[0])
+
+
+def test_demoted_path_no_per_frame_slices(monkeypatch):
+    """The demoted-stream consumption must ride whole-batch device
+    slices (FrameSeq.stacked_planes / stacked _demote output), never
+    per-frame FrameSeq indexing -- on a tunneled transport a per-frame
+    slice costs 3 RPCs per FRAME (round-3 verdict weak #6)."""
+    import sys
+    sys.path.insert(0, 'tests')
+    from test_quirk_leak import _escape_zero_stream
+    from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+    from jsmpeg_tpu.models.mpeg1 import FrameSeq
+
+    def boom(self, i):
+        raise AssertionError('per-frame slice on the demoted path')
+
+    monkeypatch.setattr(FrameSeq, '__getitem__', boom)
+    quirk = _escape_zero_stream(48, 32)
+    dec = MultiStreamDecoder(1, batch_frames=4, quarantine=True)
+    dec.write(0, quirk)
+    stacked = []
+    while True:
+        outs = dec.decode_batch(eof=True)
+        if outs is None:
+            break
+        st = outs[0]
+        for f in range(st.y.shape[0]):
+            stacked.append(np.asarray(st.y[f]))
+    ref = OracleMPEG1(quirk).decode_all()
+    assert len(stacked) == len(ref) == 2
+    for got, r in zip(stacked, ref):
+        np.testing.assert_array_equal(got, r[0])
 
 
 def test_demoted_then_dead_purged():

@@ -1,7 +1,11 @@
 """Long-running robustness soak: random fixtures x random corruption
 modes through every ingest layer, plus a clean differential round each
 iteration (batch pipeline vs serial-exact) so silent wrong-output bugs
-surface, not just crashes.
+surface, not just crashes.  Round 4 adds mesh rounds (random gop x tile
+geometry vs serial, bit-exact) and serving-fleet rounds (N streams with
+one corrupted sibling through MultiStreamDecoder in quarantine posture,
+random stacked/vmap formulation: isolation must never contaminate the
+clean feeds).
 
 Runs until --seconds (or forever with 0); any failure logs a one-line
 JSON reproducer {seed, mode, error} to --log and keeps going.  Exit
@@ -124,6 +128,82 @@ def _differential(es: bytes, rng) -> None:
             assert np.array_equal(x, y), f'frame {i} differs: {flags}'
 
 
+def _mesh_differential(es: bytes, rng) -> None:
+    """Clean stream through a random (gop x tile) mesh must equal the
+    serial pipeline bit-for-bit (round-4 soak extension: the mesh path
+    under the same random-geometry fire as the single pipeline)."""
+    import jax
+
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.parallel.mesh import make_mesh
+    from jsmpeg_tpu.parallel.packed import decode_packed_mesh
+    n_dev = len(jax.devices())
+    shapes = [(g, t) for g in (1, 2, 4) for t in (1, 2)
+              if g * t <= n_dev]
+    g, t = shapes[int(rng.integers(len(shapes)))]
+    try:
+        outs = decode_packed_mesh(es, make_mesh(n_gop=g, n_tile=t))
+    except RuntimeError:
+        return          # quirk stream needs the serial-exact path
+    except ValueError as e:
+        if 'halo' in str(e):
+            return      # MV reach beyond the tile halo: off-mesh policy
+        raise
+    d = MPEG1Decoder()
+    d.write(0.0, es)
+    ref = d.decode_available(eof=True)
+    assert len(outs) == len(ref), f'mesh {g}x{t} frame count'
+    for i, (p, r) in enumerate(zip(outs, ref)):
+        for a, b in zip((p.y, p.cr, p.cb), (r.y, r.cr, r.cb)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), \
+                f'mesh {g}x{t} frame {i} differs'
+
+
+def _streams_round(rng, mode: str) -> None:
+    """Serving fleet under fire: N same-geometry streams, ONE corrupted,
+    through a MultiStreamDecoder in quarantine posture (random
+    stacked/vmap formulation).  The clean streams must decode bit-exactly
+    regardless of what the corrupt sibling does (quarantine/demotion
+    must isolate, never contaminate)."""
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.parallel.streams import MultiStreamDecoder
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    w = int(rng.choice([48, 96]))
+    h = int(rng.choice([48, 64]))
+    n_streams = int(rng.integers(2, 4))
+    streams = [encode_test_stream(w, h,
+                                  n_frames=int(rng.integers(2, 7)),
+                                  seed=int(rng.integers(1 << 30)),
+                                  gop=int(rng.integers(1, 4)))[0]
+               for _ in range(n_streams)]
+    bad = int(rng.integers(n_streams))
+    feeds = [(_corrupt(s, rng, mode) if i == bad else s)
+             for i, s in enumerate(streams)]
+    dec = MultiStreamDecoder(
+        n_streams, batch_frames=4, quarantine=True,
+        streaming=bool(rng.integers(2)),
+        mode='stacked' if rng.integers(2) else 'vmap')
+    pos = [0] * n_streams
+    while any(pos[i] < len(feeds[i]) for i in range(n_streams)):
+        for i in range(n_streams):
+            step = int(rng.integers(1, 2048))
+            dec.write(i, feeds[i][pos[i]:pos[i] + step])
+            pos[i] += step
+        dec.decode_batch()
+    frames = dec.decode_all(eof=True)
+    for i, es in enumerate(streams):
+        if i == bad or dec.dead[i]:
+            continue
+        d = MPEG1Decoder()
+        d.write(0.0, es)
+        ref = d.decode_available(eof=True)
+        assert len(frames[i]) == len(ref), \
+            f'clean stream {i} frame count under corrupt sibling'
+        for k, (p, r) in enumerate(zip(frames[i], ref)):
+            assert np.array_equal(np.asarray(p.y), np.asarray(r.y)), \
+                f'clean stream {i} frame {k} contaminated'
+
+
 MODES = ('bitflips', 'truncate', 'garbage_prefix', 'drop_packets',
          'dup_packets', 'mix')
 
@@ -147,6 +227,10 @@ def main(argv=None) -> int:
             _drain(_corrupt(ts, rng, mode))
             if it % len(MODES) == 0:
                 _differential(es, rng)
+            if it % 3 == 1:
+                _streams_round(rng, mode)
+            if it % 6 == 4:
+                _mesh_differential(es, rng)
         except Exception as e:                      # log + keep going
             fails += 1
             rec = {'seed': seed, 'mode': mode, 'error': repr(e),
