@@ -521,6 +521,30 @@ def device_rows(emit):
         nd = run_dense()
         dtimes.append(time.monotonic() - t0)
     emit('dense_28mbit_fps', round(nd / _median(dtimes), 2))
+    # dense attribution: the stress stream's ceiling is whichever stage
+    # saturates -- host VLC parse of ~6x the coefficient volume, the
+    # bigger wire upload, or the segmented-scatter scans
+    t0 = time.monotonic()
+    p3 = best_parser()
+    p3.write(es_dense)
+    nparsed = 0
+    wire_mb = 0.0
+    from jsmpeg_tpu.models.mpeg1 import split_packed_batch
+    while True:
+        b3 = p3.parse_batch(32, eof=True)
+        if not isinstance(b3, dict) or not b3.get('n', 0):
+            break
+        nparsed += b3['n']
+        for g in split_packed_batch(b3):
+            gb, *_ = build_fused_buffer(g, g['n'], seq.mb_size)
+            wire_mb += len(gb) / 1e6
+        if b3['n'] < 32:
+            break
+    dense_parse_s = time.monotonic() - t0
+    emit('dense_attribution',
+         {'host_parse_pack_fps': round(nparsed / dense_parse_s, 1),
+          'wire_mb': round(wire_mb, 2),
+          'e2e_wall_s': round(_median(dtimes), 3)})
 
     # 1080p sustained device rate (the reference only claims 1080p "works
     # just fine" on desktop, reference README.md:117): same fused

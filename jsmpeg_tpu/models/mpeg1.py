@@ -87,17 +87,18 @@ def decode_scan(cur: Planes, fwd: Planes, stacked: FrameArrays,
 
 
 @functools.partial(jax.jit, static_argnames=('mb_h', 'mb_w', 'band_halo',
-                                             'mc_method'))
+                                             'mc_method', 'n_seg'))
 def decode_scan_levels(cur: Planes, fwd: Planes, stacked: LevelsArrays,
                        intra_q: jnp.ndarray, non_intra_q: jnp.ndarray,
                        mb_h: int, mb_w: int, band_halo: int = None,
-                       mc_method: str = None):
+                       mc_method: str = None, n_seg: int = 1):
     """Raw-levels pipeline: dequant+premultiply fused into the per-frame
     step (XLA fuses it with the IDCT), planes carried across the scan."""
 
     step = functools.partial(levels_scan_step, intra_q=intra_q,
                              non_intra_q=non_intra_q, mb_h=mb_h, mb_w=mb_w,
-                             band_halo=band_halo, mc_method=mc_method)
+                             band_halo=band_halo, mc_method=mc_method,
+                             n_seg=n_seg)
     (cur, fwd), outs = jax.lax.scan(step, (cur, fwd), stacked)
     return cur, fwd, outs
 

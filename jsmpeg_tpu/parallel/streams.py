@@ -162,10 +162,14 @@ class MultiStreamDecoder:
         from ..host import best_parser
         self.n = n_streams
         self.batch_frames = batch_frames
-        # joint-dispatch formulation: 'stacked' (streams stacked along MB
-        # rows, one 4D pipeline -- the default) or 'vmap' (legacy [S,...]
-        # vmapped scan, kept for A/B; loses to stacked on chip)
-        if mode not in ('stacked', 'vmap'):
+        # dispatch formulation: 'stacked' (streams stacked along MB rows
+        # into one joint 4D pipeline), 'roundrobin' (per-stream scans
+        # dispatched back-to-back -- async, so stream i+1's wire uploads
+        # while stream i scans; the serial time-multiplexing bound), or
+        # 'vmap' (legacy [S, ...] vmapped scan, kept for A/B).  The
+        # default follows the on-chip S-sweep capture
+        # (tools/profile_streams.py, docs/SERVING.md).
+        if mode not in ('stacked', 'vmap', 'roundrobin'):
             raise ValueError(f'unknown multi-stream mode {mode!r}')
         self.mode = mode
         # streaming=True applies the reference's EVICT-mode memory bound
@@ -240,6 +244,10 @@ class MultiStreamDecoder:
 
     def _zero_carry(self, seq):
         cw, ch = seq.coded_width, seq.coded_height
+        if self.mode == 'roundrobin':
+            # independent per-stream carries, created lazily on first
+            # dispatch
+            return [None] * self.n
         if self.mode == 'stacked':
             # joint planes: stream i owns rows [i*ch, (i+1)*ch)
             z = lambda hh, ww: jnp.zeros((self.n * hh, ww),
@@ -250,14 +258,28 @@ class MultiStreamDecoder:
         p = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
         return p, p
 
-    def _carry_of(self, planes: Planes, i: int, seq) -> Planes:
-        """Stream i's planes out of the joint carry (either layout)."""
+    def _zero_planes(self, seq):
+        cw, ch = seq.coded_width, seq.coded_height
+        z = lambda hh, ww: jnp.zeros((hh, ww), dtype=jnp.uint8)
+        return Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
+
+    def _carry_pair(self, i: int):
+        """Stream i's (cur, fwd) planes out of the carry, or None if the
+        stream never joined a dispatch (any mode)."""
+        if self._carry is None:
+            return None
+        if self.mode == 'roundrobin':
+            return self._carry[i]
+        cur, fwd = self._carry
         if self.mode == 'stacked':
-            ch = seq.coded_height
-            return Planes(planes.y[i * ch:(i + 1) * ch],
-                          planes.cr[i * (ch >> 1):(i + 1) * (ch >> 1)],
-                          planes.cb[i * (ch >> 1):(i + 1) * (ch >> 1)])
-        return Planes(planes.y[i], planes.cr[i], planes.cb[i])
+            ch = self._seq.coded_height
+            cut = lambda p: Planes(
+                p.y[i * ch:(i + 1) * ch],
+                p.cr[i * (ch >> 1):(i + 1) * (ch >> 1)],
+                p.cb[i * (ch >> 1):(i + 1) * (ch >> 1)])
+            return cut(cur), cut(fwd)
+        return (Planes(cur.y[i], cur.cr[i], cur.cb[i]),
+                Planes(fwd.y[i], fwd.cr[i], fwd.cb[i]))
 
     def _demote(self, i: int, pending: Optional[dict]) -> List[Planes]:
         """Hand stream i to its own serial-capable MPEG1Decoder (its
@@ -274,10 +296,9 @@ class MultiStreamDecoder:
                             'mc_method': self.mc_method,
                             'videoBufferSize': self.buffer_size})
         dec.parser = self.parsers[i]
-        if self._carry is not None:
-            cur, fwd = self._carry
-            dec._cur = self._carry_of(cur, i, self._seq)
-            dec._fwd = self._carry_of(fwd, i, self._seq)
+        pair = self._carry_pair(i)
+        if pair is not None:
+            dec._cur, dec._fwd = pair
         elif self.parsers[i].seq is not None:
             dec._init_planes()          # demoted before any joint batch
         dec.can_play = True
@@ -394,6 +415,51 @@ class MultiStreamDecoder:
                 (jnp.asarray(seq.intra_quant_matrix, dtype=jnp.int32),
                  jnp.asarray(seq.non_intra_quant_matrix, dtype=jnp.int32)))
         iq, nq = self._quant
+
+        if self.mode == 'roundrobin':
+            real = [b for b in batches if b.get('n', 0)]
+            n_pairs = grow('pairs',
+                           max(fused_pair_bucket(len(b['sp_pos']),
+                                                 len(b['sp_esc']))
+                               for b in real))
+            n_runs = grow('runs',
+                          _bucket(max(max(len(b['run_len'])
+                                          for b in real), 1), lo=256))
+            n_blk = grow('blk',
+                         _bucket(max(max(b['n_blocks'] for b in real), 1),
+                                 lo=1024))
+            mv_wide = (self._sticky.get('mv_wide', False)
+                       or not all(mv_fits_narrow(b['run_mv'])
+                                  for b in real))
+            self._sticky['mv_wide'] = mv_wide
+            halo = _merge_halo([MPEG1Decoder._band_halo(b) for b in real])
+            result = []
+            for i, b in enumerate(batches):
+                c = b.get('n', 0)
+                if not c:
+                    zc = self._zero_planes(seq)
+                    result.append(Planes(zc.y[:0], zc.cr[:0], zc.cb[:0]))
+                    continue
+                buf = build_fused_buffer_sized(
+                    b, F, n_pairs, n_runs, n_mb, mv_wide,
+                    ids_blk=n_blk if self.wire_ids else 0)
+                dev = jax.device_put(buf)
+                pair = self._carry[i]
+                if pair is None:
+                    pair = (self._zero_planes(seq),
+                            self._zero_planes(seq))
+                # async dispatch: stream i+1's wire uploads while stream
+                # i's scan executes; the device drains the queue serially
+                cur, fwd, outs = decode_scan_fused(
+                    pair[0], pair[1], dev, iq, nq,
+                    mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
+                    n_blk=n_blk, n_runs=n_runs, band_halo=halo,
+                    mv_wide=mv_wide, block_carry=self.block_carry,
+                    wire_ids=self.wire_ids, mc_method=self.mc_method)
+                self._carry[i] = (cur, fwd)
+                result.append(Planes(outs.y[:c], outs.cr[:c],
+                                     outs.cb[:c]))
+            return self._overlay_demoted(result, demoted_frames)
 
         if self.mode == 'stacked':
             per_stream = [split_packed_frames(b) if b.get('n', 0) else []

@@ -68,15 +68,17 @@ def test_incremental_write_and_eof_tail():
     _check([a, b], frames)
 
 
-def test_vmap_mode_bit_exact():
-    """The legacy vmapped formulation (kept for A/B) still decodes
-    bit-exactly, including an unequal-length stream."""
+@pytest.mark.parametrize('mode', ['vmap', 'roundrobin'])
+def test_alternate_modes_bit_exact(mode):
+    """The legacy vmapped formulation (kept for A/B) and the round-robin
+    per-stream dispatch mode both decode bit-exactly, including an
+    unequal-length stream and multi-batch carries."""
     streams = [
         encode_realistic_stream(160, 96, n_frames=9, seed=s, gop=4)[0]
         for s in (71, 72)]
     streams.append(
         encode_realistic_stream(160, 96, n_frames=3, seed=73, gop=3)[0])
-    dec = MultiStreamDecoder(3, batch_frames=4, mode='vmap')
+    dec = MultiStreamDecoder(3, batch_frames=4, mode=mode)
     for i, es in enumerate(streams):
         dec.write(i, es)
     got = dec.decode_all(eof=True)

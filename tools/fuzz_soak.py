@@ -183,14 +183,26 @@ def _streams_round(rng, mode: str) -> None:
         n_streams, batch_frames=4, quarantine=True,
         streaming=bool(rng.integers(2)),
         mode='stacked' if rng.integers(2) else 'vmap')
+    frames = [[] for _ in range(n_streams)]
+
+    def harvest(outs):
+        if outs is None:
+            return
+        for i, st in enumerate(outs):
+            for f in range(st.y.shape[0]):
+                frames[i].append(
+                    type(st)(st.y[f], st.cr[f], st.cb[f]))
+
     pos = [0] * n_streams
     while any(pos[i] < len(feeds[i]) for i in range(n_streams)):
         for i in range(n_streams):
             step = int(rng.integers(1, 2048))
             dec.write(i, feeds[i][pos[i]:pos[i] + step])
             pos[i] += step
-        dec.decode_batch()
-    frames = dec.decode_all(eof=True)
+        harvest(dec.decode_batch())
+    for tail in dec.decode_all(eof=True), :
+        for i, fs in enumerate(tail):
+            frames[i].extend(fs)
     for i, es in enumerate(streams):
         if i == bad or dec.dead[i]:
             continue

@@ -7,6 +7,7 @@ to the true execution rate (measured in round 2, docs/PERF_ANALYSIS.md).
 
 Run:  python tools/profile_device.py [piece ...]
 Pieces: unpack p2l p2l_parts scan step
+Env:  PROF_STREAM=720p|dense|1080p (fixture), PROF_F (frames/batch)
 """
 
 from __future__ import annotations
@@ -53,8 +54,22 @@ def f_first(x):
 
 def main():
     want = set(sys.argv[1:]) or {'unpack', 'p2l', 'p2l_parts', 'scan'}
-    from bench import build_stream
-    es, _ = build_stream()
+    stream = os.environ.get('PROF_STREAM', '720p')
+    if stream == 'dense':
+        from bench import build_dense_stream
+        es = build_dense_stream()
+    elif stream == '1080p':
+        from jsmpeg_tpu.testing.gen import encode_realistic_stream
+        cache = '/tmp/jsmpeg_tpu_bench_1920x1080_32.es'
+        if os.path.exists(cache):
+            es = open(cache, 'rb').read()
+        else:
+            es, _ = encode_realistic_stream(1920, 1080, n_frames=32,
+                                            seed=3, gop=12)
+            open(cache, 'wb').write(es)
+    else:
+        from bench import build_stream
+        es, _ = build_stream()
     dec = MPEG1Decoder()
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(F, eof=True)

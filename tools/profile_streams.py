@@ -14,7 +14,10 @@ rests on this curve: aggregate approaches S-linear while per-step fixed
 costs amortize, until MXU/HBM saturates.
 
 Env: PROFILE_STREAMS_S=1,2,4,8  PROFILE_STREAMS_REPS=10
-     PROFILE_STREAMS_MODES=stacked,vmap
+     PROFILE_STREAMS_MODES=stacked,roundrobin,vmap
+     PROFILE_STREAMS_RES=WxH (default: the 720p bench stream; smaller
+     feeds have higher relative per-step fixed costs, so the stacked
+     win condition depends on resolution)
 """
 
 from __future__ import annotations
@@ -50,7 +53,19 @@ def main():
                                              stack_stream_frames)
     from jsmpeg_tpu.utils import fetch
 
-    es, _ = bench.build_stream()
+    res = os.environ.get('PROFILE_STREAMS_RES')
+    if res:
+        w, h = (int(x) for x in res.split('x'))
+        from jsmpeg_tpu.testing.gen import encode_realistic_stream
+        cache = f'/tmp/jsmpeg_tpu_streams_{w}x{h}_32.es'
+        if os.path.exists(cache):
+            es = open(cache, 'rb').read()
+        else:
+            es, _ = encode_realistic_stream(w, h, n_frames=32, seed=3,
+                                            gop=12)
+            open(cache, 'wb').write(es)
+    else:
+        es, _ = bench.build_stream()
     dec = MPEG1Decoder()
     dec.write(0.0, es)
     batch = dec.parser.parse_batch(32, eof=True)
@@ -67,7 +82,7 @@ def main():
     s_list = tuple(int(x) for x in os.environ.get(
         'PROFILE_STREAMS_S', '1,2,4,8').split(','))
     modes = tuple(os.environ.get('PROFILE_STREAMS_MODES',
-                                 'stacked,vmap').split(','))
+                                 'stacked,roundrobin,vmap').split(','))
 
     def run_stacked(S):
         joint, vseg = stack_stream_frames([frames] * S, seq.mb_size, F)
@@ -93,6 +108,31 @@ def main():
         np.asarray(fetch(r[2].y[-1, :1, :4]))
         return time.monotonic() - t0
 
+    def run_roundrobin(S):
+        """S per-stream scans dispatched back-to-back (async; the device
+        drains the queue serially) -- the time-multiplexing bound the
+        joint formulations must beat, including per-dispatch overhead."""
+        n_pairs = fused_pair_bucket(len(batch['sp_pos']),
+                                    len(batch['sp_esc']))
+        n_runs = _bucket(max(len(batch['run_len']), 1), lo=256)
+        n_blk = _bucket(max(batch['n_blocks'], 1), lo=1024)
+        buf = build_fused_buffer_sized(batch, F, n_pairs, n_runs,
+                                       seq.mb_size, mvw)
+        dev = jax.device_put(buf)
+        z = lambda hh, ww: jnp.zeros((hh, ww), dtype=jnp.uint8)
+        cur = Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
+        kw = dict(mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
+                  n_blk=n_blk, n_runs=n_runs, band_halo=halo, mv_wide=mvw)
+        r = decode_scan_fused(cur, cur, dev, iq, nq, **kw)
+        np.asarray(fetch(r[2].y[-1, :1, :4]))   # warm + force
+        t0 = time.monotonic()
+        for _ in range(reps):
+            rs = [decode_scan_fused(cur, cur, dev, iq, nq, **kw)
+                  for _ in range(S)]
+        for r in rs:
+            np.asarray(fetch(r[2].y[-1, :1, :4]))
+        return time.monotonic() - t0
+
     def run_vmap(S):
         n_pairs = fused_pair_bucket(len(batch['sp_pos']),
                                     len(batch['sp_esc']))
@@ -114,8 +154,10 @@ def main():
         return time.monotonic() - t0
 
     rows = []
+    runners = {'stacked': run_stacked, 'vmap': run_vmap,
+               'roundrobin': run_roundrobin}
     for mode in modes:
-        runner = run_stacked if mode == 'stacked' else run_vmap
+        runner = runners[mode]
         base = None
         for S in s_list:
             dt = runner(S)

@@ -41,7 +41,7 @@ class _ESFeed:
 
 def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
           stats_out=None, wav_pattern=None, wire_ids=False,
-          block_carry=False, mc_method=None):
+          block_carry=False, mc_method=None, mode='roundrobin'):
     import numpy as np
 
     from jsmpeg_tpu.config import PlayerConfig
@@ -54,7 +54,7 @@ def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
     n = len(urls)
     dec = MultiStreamDecoder(n, batch_frames=batch, wire_ids=wire_ids,
                              block_carry=block_carry, mc_method=mc_method,
-                             streaming=True, quarantine=True)
+                             streaming=True, quarantine=True, mode=mode)
     # serving reads whole static files up front (no progressive Range
     # throttle to resume()) and treats http:// as an endless chunked
     # live body, matching the advertised feed kinds
@@ -186,6 +186,11 @@ def main(argv=None):
                          'cheap H2D, i.e. most serving hosts)')
     ap.add_argument('--block-carry', action='store_true',
                     help='MB-block-layout scan carry (A/B on your chip)')
+    ap.add_argument('--mode', default='roundrobin',
+                    choices=['roundrobin', 'stacked', 'vmap'],
+                    help='dispatch formulation (bit-exact all three; '
+                         'the default follows the on-chip S-sweep, '
+                         'docs/SERVING.md)')
     ap.add_argument('--mc', default=None,
                     choices=['onehot', 'fused', 'fused_pair', 'gather'],
                     help='motion-compensation formulation (bit-exact '
@@ -193,7 +198,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     serve(args.urls, args.out, args.batch, args.interval, args.seconds,
           wav_pattern=args.wav, wire_ids=args.wire_ids,
-          block_carry=args.block_carry, mc_method=args.mc)
+          block_carry=args.block_carry, mc_method=args.mc,
+          mode=args.mode)
     return 0
 
 

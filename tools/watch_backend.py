@@ -1,5 +1,6 @@
 """Backend recovery watcher: probe the tunneled TPU until it answers,
-then fire the measurement campaign (tools/campaign_r3.py).
+then fire the measurement campaign (tools/campaign_r4.py by
+default; --campaign selects another).
 
 The tunneled backend has been hanging at init (the failure that emptied
 BENCH_r02), so every probe runs in its OWN PROCESS GROUP with a hard
@@ -107,9 +108,11 @@ def main() -> int:
     ap.add_argument('--max-wait', type=float, default=0.0,
                     help='give up (exit 2) after this many seconds without '
                          'recovery; 0 = wait forever')
+    ap.add_argument('--campaign', default='tools/campaign_r4.py',
+                    help='campaign script to launch on recovery')
     ap.add_argument('--stages', nargs='*', default=None,
                     help='campaign stages to run on recovery '
-                         '(default: campaign_r3 default order)')
+                         '(default: the campaign default order)')
     args = ap.parse_args()
 
     t_start = time.monotonic()
@@ -119,8 +122,9 @@ def main() -> int:
         if args.once:
             return 0 if rec['ok'] else 1
         if rec['ok']:
-            log({'event': 'recovered', 'action': 'launching campaign_r3'})
-            cmd = [sys.executable, 'tools/campaign_r3.py'] + (args.stages or [])
+            log({'event': 'recovered',
+                 'action': f'launching {args.campaign}'})
+            cmd = [sys.executable, args.campaign] + (args.stages or [])
             p = subprocess.run(cmd, cwd=ROOT)
             log({'event': 'campaign_done', 'rc': p.returncode})
             # propagate: a supervisor must distinguish a completed
