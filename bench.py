@@ -42,8 +42,9 @@ Rows:
   device_pipeline_fps   device scan alone, wire buffer resident (execution
                         forced by fetching output bytes, not only
                         block_until_ready -- see device_probe_ms)
-  device_multistream_fps  S=4 independent streams, ONE vmapped scan
-                        (stream-parallel serving, parallel/streams.py)
+  device_multistream_fps  S=4 independent streams, round-robin async
+                        dispatch (the serving default) + a stacked-rows
+                        joint-scan A/B row (parallel/streams.py)
   dense_28mbit_fps      pathological coefficient-dense stress stream
   streaming_latency_720p_ms   chunk-in -> decoded-frame-ready {p50, p95}
   mp2_frames_per_s      bit-exact C++ MP2 path
@@ -407,19 +408,29 @@ def device_rows(emit):
     np.asarray(fetch(r[2].y[-1, :1, :4]))
     emit('device_pipeline_fmc2_fps',
          round(32 * 10 / (time.monotonic() - t0), 2))
-    # stream-parallel serving row: S=4 independent 720p streams through
-    # ONE joint scan with the streams STACKED ALONG MB ROWS
-    # (parallel/streams.py 'stacked' mode, the round-4 default: every op
-    # keeps the single-stream 4D layout, just S x taller; the legacy
-    # vmapped formulation measured BELOW the serial bound in BENCH_r03 --
-    # 374 vs 603 fps -- and was replaced).  Aggregate fps vs
-    # device_pipeline_fps (the serial time-multiplexing bound) is the
-    # serving tier's whole thesis.
+    # stream-parallel serving rows: S=4 independent 720p streams.
+    # 'roundrobin' (the serving default): per-stream scans dispatched
+    # back-to-back, async -- aggregate equals the serial time-
+    # multiplexing bound, which the round-4 S-sweep measured as the best
+    # available at 720p (every JOINT formulation -- vmap in r3, stacked
+    # rows in r4 -- fell BELOW this bound: the single-stream scan
+    # already saturates the chip at this operating point; see
+    # docs/SERVING.md roofline).  The stacked A/B row stays on the
+    # record so the roofline claim is re-checked every capture.
     from jsmpeg_tpu.models.mpeg1 import (_bucket, build_fused_buffer_sized,
                                          fused_pair_bucket)
     from jsmpeg_tpu.parallel.packed import split_packed_frames
     from jsmpeg_tpu.parallel.streams import stack_stream_frames
     S = 4
+    t0 = time.monotonic()
+    for _ in range(10):
+        rs = [decode_scan_fused(cur, fwd, dev, iq, nq, **kw)
+              for _ in range(S)]
+    for rr in rs:
+        np.asarray(fetch(rr[2].y[-1, :1, :4]))
+    emit('device_multistream_fps',
+         {'streams': S, 'mode': 'roundrobin',
+          'aggregate': round(S * 32 * 10 / (time.monotonic() - t0), 2)})
     frames_s = split_packed_frames(batch)
     joint, vseg = stack_stream_frames([frames_s] * S, seq.mb_size, 32)
     n_pairs_s = fused_pair_bucket(len(joint['sp_pos']),
@@ -443,7 +454,7 @@ def device_rows(emit):
         r = decode_scan_fused(curs, curs, devs, iq, nq, valid_seg=vdev,
                               **kws)
     np.asarray(fetch(r[2].y[-1, :1, :4]))
-    emit('device_multistream_fps',
+    emit('device_multistream_stacked_fps',
          {'streams': S, 'mode': 'stacked',
           'aggregate': round(S * 32 * 10 / (time.monotonic() - t0), 2)})
     # single-batch round-trip latency (dispatch + scan + 4-byte fetch)

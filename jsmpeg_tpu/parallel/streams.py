@@ -1,29 +1,37 @@
-"""Stream-parallel decode on ONE chip: N independent MPEG1 streams ride
-a single jointly-dispatched scan.
+"""Stream-parallel decode on ONE chip: N independent MPEG1 streams
+share one device, one compiled program, and one serving surface.
 
 The reference player decodes exactly one stream per instance
 (/root/reference/src/player.js:27-55); production TPU serving wants many
-camera feeds per chip.  A single 720p stream's device rate is bounded by
-the SEQUENTIAL P-frame scan -- per-step fixed costs (masks, relayouts,
-dispatch) don't shrink with the work -- so decoding S streams jointly
-amortizes those costs and fills the MXU with S frames of matmuls per
-step.
+camera feeds per chip.  Three dispatch formulations, all bit-exact,
+decided by on-chip capture (tools/profile_streams.py; docs/SERVING.md):
 
-Two formulations, A/B'd on chip:
-
-  - 'stacked' (default): the S streams STACK ALONG MB ROWS into one
-    joint frame per step (mb_h -> S*mb_h) -- every device op keeps the
-    exact 4D layout of the single-stream pipeline, just taller.  Motion
+  - 'roundrobin' (default): per-stream scans dispatched back-to-back.
+    Dispatch is async, so stream i+1's wire uploads while stream i's
+    scan executes and the device drains the queue at the full
+    single-stream rate -- aggregate throughput equals the serial
+    time-multiplexing bound, which the round-4 S-sweep measured as the
+    BEST available: at 720p the per-frame step cost of any JOINT
+    formulation roughly doubles once the joint working set outgrows the
+    single-stream scale (stacked S=1: 759 fps, S=2: 485 aggregate,
+    S=4: 448), so "batching streams" buys nothing at this operating
+    point -- the single-stream scan already saturates the chip.
+  - 'stacked': the S streams STACK ALONG MB ROWS into one joint frame
+    per step (mb_h -> S*mb_h) -- every device op keeps the exact 4D
+    layout of the single-stream pipeline, just taller.  Motion
     compensation clamps source rows at segment boundaries
     (ops/motion.py n_seg), which IS the per-stream frame-edge clamp, so
     the joint decode is bit-exact vs decoding each stream alone.
     Unequal-length streams ride a per-(frame, stream) valid mask whose
-    rows keep/skip the carry rotation independently.
-  - 'vmap': one `jax.vmap`'d scan over [S, ...] stacks.  Measured WORSE
-    than serial time-multiplexing on chip (BENCH_r03: 374 fps aggregate
-    at S=4 vs 603 single-stream -- the vmapped 5D einsums force layout
-    relayouts, the same failure mode as the rejected chroma pairing in
-    docs/PERF_ANALYSIS.md); retained for A/B only.
+    rows keep/skip the carry rotation independently.  One dispatch per
+    fleet batch (lowest per-batch host/dispatch overhead) -- worth
+    re-measuring for small-resolution fleets where per-step fixed
+    costs dominate.
+  - 'vmap': one `jax.vmap`'d scan over [S, ...] stacks.  Measured WORST
+    (BENCH_r03: 374 fps aggregate at S=4 vs 603 single-stream -- the
+    vmapped 5D einsums force layout relayouts, the same failure mode as
+    the rejected chroma pairing in docs/PERF_ANALYSIS.md); retained for
+    A/B only.
 
 Mechanics (stacked): every stream parses on the host as usual; each
 joint batch interleaves the streams' per-frame packed records
@@ -139,9 +147,10 @@ def _merge_halo(halos):
 
 
 class MultiStreamDecoder:
-    """Decode N same-resolution MPEG1 elementary streams jointly on one
-    device.  write(i, data) feeds stream i; decode_batch() dispatches one
-    joint vmapped batch and returns the newly decoded frames per stream.
+    """Decode N same-resolution MPEG1 elementary streams on one device.
+    write(i, data) feeds stream i; decode_batch() dispatches the fleet's
+    round (see the module docstring for the three dispatch modes) and
+    returns the newly decoded frames per stream.
 
     All streams must share coded size and quant matrices (homogeneous
     serving fleets do); the first sequence header to ARRIVE becomes the
@@ -158,7 +167,7 @@ class MultiStreamDecoder:
                  streaming: bool = False,
                  buffer_size: int = 512 * 1024,
                  quarantine: bool = False,
-                 mode: str = 'stacked'):
+                 mode: str = 'roundrobin'):
         from ..host import best_parser
         self.n = n_streams
         self.batch_frames = batch_frames
@@ -555,10 +564,13 @@ class MultiStreamDecoder:
 
 
 def decode_streams_offline(streams: Sequence[bytes],
-                           batch_frames: int = 32) -> List[List[Planes]]:
-    """Convenience driver: jointly decode N elementary streams, returning
-    per-stream frame lists (test/library entry)."""
-    dec = MultiStreamDecoder(len(streams), batch_frames=batch_frames)
+                           batch_frames: int = 32,
+                           mode: str = 'roundrobin'
+                           ) -> List[List[Planes]]:
+    """Convenience driver: decode N elementary streams on one device,
+    returning per-stream frame lists (test/library entry)."""
+    dec = MultiStreamDecoder(len(streams), batch_frames=batch_frames,
+                             mode=mode)
     for i, es in enumerate(streams):
         dec.write(i, es)
     return dec.decode_all(eof=True)
@@ -574,7 +586,7 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
     with I-frame splits and each row scans from a zero carry.  Returns
     per-stream frame lists, bit-exact vs decoding each stream alone;
     batches whose MV reach exceeds the tile halo fall back to the
-    single-chip vmapped joint decode (same off-mesh policy as the
+    single-chip MultiStreamDecoder (same off-mesh policy as the
     Player's single-stream mesh path)."""
     from ..host import best_parser
     from .packed import MeshPackedDecoder, split_packed_frames
@@ -603,7 +615,7 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
                 and all_frames[bounds[-1]]['pic_type'] != 1):
             # a mid-GOP join would motion-compensate against the
             # PREVIOUS stream's last frame once concatenated; route the
-            # whole job to the vmapped path (per-stream carries)
+            # whole job to the single-chip path (per-stream carries)
             p_first = True
         bounds.append(len(all_frames))
         seq = parser.seq
@@ -627,7 +639,7 @@ def decode_streams_mesh(streams: Sequence[bytes], mesh,
     dec = MeshPackedDecoder(mesh, seq0, f_code=f_code, mc_method=mc_method)
     if p_first or not dec.fits_mesh(all_frames):
         # MV reach beyond the per-tile halo, or a stream joining
-        # mid-GOP: single-chip vmapped fallback, exactly like
+        # mid-GOP: single-chip MultiStreamDecoder fallback, exactly like
         # MPEG1Decoder's off-mesh policy.  (This re-parses from bytes --
         # acceptable on a fallback path; ~1,300 fps/core.)
         result = decode_streams_offline(streams)

@@ -1,8 +1,8 @@
 """Stream-parallel decode (parallel/streams.py): N independent streams
-through one joint dispatch (stacked-rows default, legacy vmap A/B) must
-be bit-exact vs decoding each stream alone with the serial fused
-pipeline, including unequal lengths (per-stream valid masks) and
-multi-batch carries."""
+through the fleet round -- round-robin default, stacked-rows joint
+dispatch, legacy vmap A/B -- must be bit-exact vs decoding each stream
+alone with the serial fused pipeline, including unequal lengths,
+multi-batch carries, and demotion/quarantine handoffs."""
 
 import numpy as np
 import pytest
@@ -34,8 +34,8 @@ def _check(streams, got):
 
 
 def test_three_streams_bit_exact():
-    """Three different streams (one short: unequal valid masks within
-    the joint batch) decode bit-exactly in one vmapped dispatch."""
+    """Three different streams (one short: unequal lengths within the
+    fleet round) decode bit-exactly through the default mode."""
     streams = [
         encode_realistic_stream(192, 112, n_frames=10, seed=s, gop=5)[0]
         for s in (1, 2, 3)]
@@ -43,6 +43,18 @@ def test_three_streams_bit_exact():
     streams[2] = encode_realistic_stream(192, 112, n_frames=4, seed=9,
                                          gop=4)[0]
     got = decode_streams_offline(streams, batch_frames=16)
+    _check(streams, got)
+
+
+def test_three_streams_bit_exact_stacked():
+    """Same fleet through the stacked-rows joint dispatch (unequal
+    valid masks within ONE joint batch)."""
+    streams = [
+        encode_realistic_stream(192, 112, n_frames=10, seed=s, gop=5)[0]
+        for s in (1, 2, 3)]
+    streams[2] = encode_realistic_stream(192, 112, n_frames=4, seed=9,
+                                         gop=4)[0]
+    got = decode_streams_offline(streams, batch_frames=16, mode='stacked')
     _check(streams, got)
 
 
@@ -99,8 +111,10 @@ def test_stacked_segment_clamp_is_load_bearing():
     a = encode_realistic_stream(96, 64, n_frames=5, seed=82, gop=5)[0]
     b = encode_test_stream(96, 64, n_frames=5, seed=83, gop=5,
                            qscale=8)[0]
-    got_a = decode_streams_offline([wide, a], batch_frames=8)
-    got_b = decode_streams_offline([b, wide], batch_frames=8)
+    got_a = decode_streams_offline([wide, a], batch_frames=8,
+                                   mode='stacked')
+    got_b = decode_streams_offline([b, wide], batch_frames=8,
+                                   mode='stacked')
     _check([wide], [got_a[0]])
     _check([wide], [got_b[1]])
     for p, q in zip(got_a[0], got_b[1]):
@@ -138,8 +152,10 @@ def test_wide_mv_stream_joint_with_narrow():
                               f_code=5)[0]
     narrow = encode_realistic_stream(192, 112, n_frames=6, seed=32,
                                      gop=3)[0]
-    got = decode_streams_offline([wide, narrow], batch_frames=8)
-    _check([wide, narrow], got)
+    for mode in ('stacked', 'vmap'):
+        got = decode_streams_offline([wide, narrow], batch_frames=8,
+                                     mode=mode)
+        _check([wide, narrow], got)
 
 
 def test_streams_over_mesh_bit_exact():
@@ -263,10 +279,13 @@ def test_quarantine_isolates_bad_feed():
     _check([good], [frames[0]])
 
 
-def test_demotion_keeps_quirk_stream_decoding():
+@pytest.mark.parametrize('mode', ['roundrobin', 'stacked'])
+def test_demotion_keeps_quirk_stream_decoding(mode):
     """A stream hitting the exactness fallback (escape-coded zero) is
-    demoted to its own serial-capable decoder mid-session: both streams
-    deliver ALL frames bit-exactly and neither is marked dead."""
+    demoted to its own serial-capable decoder mid-session (the scan
+    carry hands off per mode: joint-plane slice for stacked, per-stream
+    pair for roundrobin): both streams deliver ALL frames bit-exactly
+    and neither is marked dead."""
     import sys
     sys.path.insert(0, 'tests')
     from test_quirk_leak import _escape_zero_stream
@@ -277,7 +296,8 @@ def test_demotion_keeps_quirk_stream_decoding():
     from jsmpeg_tpu.testing.gen import encode_test_stream
     clean = encode_test_stream(48, 32, n_frames=4, seed=61, gop=2,
                                qscale=8)[0]
-    dec = MultiStreamDecoder(2, batch_frames=4, quarantine=True)
+    dec = MultiStreamDecoder(2, batch_frames=4, quarantine=True,
+                             mode=mode)
     dec.write(0, clean)
     dec.write(1, quirk)
     frames = dec.decode_all(eof=True)

@@ -81,12 +81,28 @@ def render(row: dict, source: str) -> str:
             ' / '.join(f'{lbl} {row[k]:.0f} fps' for k, lbl in abs_))
     ms = row.get('device_multistream_fps')
     if isinstance(ms, dict) and ms.get('aggregate'):
-        add('multi-stream serving (joint vmapped scan)',
+        mode = ms.get('mode', 'vmap')
+        add(f'multi-stream serving ({mode} dispatch, the default)',
             f'{ms["aggregate"]:.0f} fps aggregate over '
             f'{ms.get("streams", "?")} streams')
     elif ms:
-        add('multi-stream serving (joint vmapped scan, aggregate)',
-            f'{ms:.0f} fps')
+        add('multi-stream serving (aggregate)', f'{ms:.0f} fps')
+    mss = row.get('device_multistream_stacked_fps')
+    if isinstance(mss, dict) and mss.get('aggregate'):
+        add('multi-stream stacked-rows joint scan (A/B; loses to the '
+            'serial bound at 720p, docs/SERVING.md)',
+            f'{mss["aggregate"]:.0f} fps aggregate over '
+            f'{mss.get("streams", "?")} streams')
+    if row.get('upload_mb_s'):
+        add('sustained H2D wire upload (this transport)',
+            f'{row["upload_mb_s"]:.0f} MB/s')
+    att = row.get('e2e_attribution')
+    if isinstance(att, dict) and att.get('e2e_wall_s'):
+        add('e2e stage attribution (each stage timed alone; overlap '
+            'makes sum > wall)',
+            f'parse {att["parse_s"]:.2f} s + upload {att["upload_s"]:.2f}'
+            f' s + scan {att["scan_s"]:.2f} s + fetch '
+            f'{att["fetch_rpc_s"]:.2f} s vs wall {att["e2e_wall_s"]:.2f} s')
     lat = row.get('streaming_latency_720p_ms')
     if isinstance(lat, dict):
         txt = (f'p50 {lat["p50"]:.0f} ms / p95 {lat["p95"]:.0f} ms incl. '
