@@ -227,6 +227,14 @@ def main(argv=None) -> int:
     ap.add_argument('--seed', type=int, default=None)
     args = ap.parse_args(argv)
 
+    # honor JAX_PLATFORMS=cpu even where a platform plugin pins the
+    # device backend regardless of the env var (this box's axon TPU):
+    # the soak's random geometries would otherwise each pay a ~100 s
+    # tunnel compile -- and the chip should stay free for real work
+    if 'cpu' in os.environ.get('JAX_PLATFORMS', ''):
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
     t_end = time.monotonic() + args.seconds if args.seconds else None
     base = args.seed if args.seed is not None else int(time.time())
     it = fails = 0
