@@ -628,6 +628,11 @@ def build_fused_buffer_sized(batch: dict, n_frames: int, n_pairs: int,
     if ids_blk:
         # per-frame coded-block counts + per-coded-block within-frame
         # ids, emission order (the wire_ids fast-link option)
+        if n_mb * 6 > 0xFFFE:
+            raise ValueError(
+                f'wire_ids block ids are uint16 (0xFFFF = padding '
+                f'sentinel); a {n_mb}-MB grid needs ids up to '
+                f'{n_mb * 6 - 1} — disable wire_ids for this geometry')
         cb_mb = np.repeat(batch['run_cbp'], lens)
         fpb = np.zeros(F, '<u2')
         if n:

@@ -272,6 +272,20 @@ class MultiStreamDecoder:
         z = lambda hh, ww: jnp.zeros((hh, ww), dtype=jnp.uint8)
         return Planes(z(ch, cw), z(ch >> 1, cw >> 1), z(ch >> 1, cw >> 1))
 
+    def _empty_result(self, seq):
+        """Zero-frame Planes for an idle stream's round — one cached
+        device allocation per geometry, not three fresh full-resolution
+        planes per idle stream per round."""
+        key = (seq.coded_width, seq.coded_height)
+        cached = getattr(self, '_empty_planes_cache', None)
+        if cached is None or cached[0] != key:
+            cw, ch = key
+            z = lambda hh, ww: jnp.zeros((0, hh, ww), dtype=jnp.uint8)
+            cached = (key, Planes(z(ch, cw), z(ch >> 1, cw >> 1),
+                                  z(ch >> 1, cw >> 1)))
+            self._empty_planes_cache = cached
+        return cached[1]
+
     def _carry_pair(self, i: int):
         """Stream i's (cur, fwd) planes out of the carry, or None if the
         stream never joined a dispatch (any mode)."""
@@ -446,8 +460,7 @@ class MultiStreamDecoder:
             for i, b in enumerate(batches):
                 c = b.get('n', 0)
                 if not c:
-                    zc = self._zero_planes(seq)
-                    result.append(Planes(zc.y[:0], zc.cr[:0], zc.cb[:0]))
+                    result.append(self._empty_result(seq))
                     continue
                 buf = build_fused_buffer_sized(
                     b, F, n_pairs, n_runs, n_mb, mv_wide,
@@ -471,6 +484,16 @@ class MultiStreamDecoder:
             return self._overlay_demoted(result, demoted_frames)
 
         if self.mode == 'stacked':
+            # wire_ids block ids are uint16 over the JOINT grid: S
+            # stacked streams multiply n_mb, so large fleets/geometries
+            # overflow the id field (and collide with the 0xFFFF padding
+            # sentinel).  Refuse up front instead of decoding garbage.
+            if self.wire_ids and self.n * n_mb * 6 > 0xFFFE:
+                raise ValueError(
+                    f'wire_ids + stacked: joint grid of {self.n}×{n_mb} '
+                    f'MBs needs block ids up to {self.n * n_mb * 6 - 1} '
+                    f'> 0xFFFE (uint16 wire field) — use '
+                    f"mode='roundrobin' or wire_ids=False")
             per_stream = [split_packed_frames(b) if b.get('n', 0) else []
                           for b in batches]
             joint, vseg = stack_stream_frames(per_stream, n_mb, F)
@@ -565,12 +588,13 @@ class MultiStreamDecoder:
 
 def decode_streams_offline(streams: Sequence[bytes],
                            batch_frames: int = 32,
-                           mode: str = 'roundrobin'
-                           ) -> List[List[Planes]]:
+                           mode: str = 'roundrobin',
+                           **kw) -> List[List[Planes]]:
     """Convenience driver: decode N elementary streams on one device,
-    returning per-stream frame lists (test/library entry)."""
+    returning per-stream frame lists (test/library entry).  Extra
+    keywords (wire_ids, mc_method, ...) forward to MultiStreamDecoder."""
     dec = MultiStreamDecoder(len(streams), batch_frames=batch_frames,
-                             mode=mode)
+                             mode=mode, **kw)
     for i, es in enumerate(streams):
         dec.write(i, es)
     return dec.decode_all(eof=True)

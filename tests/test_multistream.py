@@ -383,3 +383,28 @@ def test_demoted_then_dead_purged():
     shapes = {tuple(np.asarray(p.y).shape)
               for fs in frames for p in fs}
     assert len(shapes) <= 1, shapes
+
+
+def test_stacked_wire_ids_bit_exact():
+    """stacked + wire_ids: the joint grid fits the uint16 id field at
+    this geometry, so the combination must stay bit-exact (the ids are
+    relative to the JOINT n_mb)."""
+    streams = [
+        encode_realistic_stream(192, 112, n_frames=6, seed=s, gop=3)[0]
+        for s in (21, 22)]
+    got = decode_streams_offline(streams, batch_frames=8, mode='stacked',
+                                 wire_ids=True)
+    _check(streams, got)
+
+
+def test_stacked_wire_ids_overflow_refused():
+    """stacked + wire_ids with a joint grid whose block ids exceed the
+    uint16 wire field (n * n_mb * 6 > 0xFFFE) must raise up front, not
+    silently wrap ids into the 0xFFFF padding sentinel (advisor r4)."""
+    n = 131                                  # 131 * 84 MB * 6 > 0xFFFE
+    dec = MultiStreamDecoder(n, batch_frames=4, wire_ids=True,
+                             mode='stacked')
+    es = encode_realistic_stream(192, 112, n_frames=4, seed=31, gop=2)[0]
+    dec.write(0, es)
+    with pytest.raises(ValueError, match='wire_ids'):
+        dec.decode_all(eof=True)

@@ -182,7 +182,7 @@ def _streams_round(rng, mode: str) -> None:
     dec = MultiStreamDecoder(
         n_streams, batch_frames=4, quarantine=True,
         streaming=bool(rng.integers(2)),
-        mode='stacked' if rng.integers(2) else 'vmap')
+        mode=('stacked', 'vmap', 'roundrobin')[int(rng.integers(3))])
     frames = [[] for _ in range(n_streams)]
 
     def harvest(outs):
