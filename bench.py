@@ -132,6 +132,15 @@ def host_rows(out):
     es, ts = build_stream()
     out['bitrate_mbit_s'] = round(len(es) * 8 * 30.0 / N_FRAMES / 1e6, 2)
 
+    # host-speed canary FIRST: fixed-work single-core + memory-bandwidth
+    # probes (C, same toolchain/flags as the parse stage).  Round 4's
+    # host-coupled rows all halved vs round 3 with nothing on record to
+    # attribute it; the canary makes outside load on this shared box
+    # distinguishable from a real regression.  A second canary runs after
+    # the device child (host_canary_end) to catch mid-run load changes.
+    from jsmpeg_tpu.host.native import host_canary
+    out['host_canary'] = host_canary()
+
     # C++ parse stage alone (threaded batch, single core).  Measured in
     # separate reps from e2e on a contended single-core box, so a parse
     # rate below a concurrently-lucky e2e rate indicates outside load.
@@ -174,17 +183,21 @@ def host_rows(out):
         dtimes.append(time.monotonic() - t0)
     out['ts_demux_mb_s'] = round(len(ts) / 1e6 / _median(dtimes), 1)
 
-    # MP2 frames/s (bit-exact C++ host path; Python fallback)
+    # MP2 frames/s (bit-exact C++ host path; Python fallback).  Median of
+    # 3 fresh-decoder reps, same discipline as the video rows.
     from jsmpeg_tpu.models.mp2 import MP2Decoder
     from jsmpeg_tpu.testing.mp2_enc import encode_stream
     aes, _ = encode_stream(400, seed=1)
-    ad = MP2Decoder()
-    ad.write(0.0, aes)
-    t0 = time.monotonic()
-    n_audio = 0
-    while ad.decode() is not None:
-        n_audio += 1
-    out['mp2_frames_per_s'] = round(n_audio / (time.monotonic() - t0), 1)
+    atimes = []
+    for _ in range(3):
+        ad = MP2Decoder()
+        ad.write(0.0, aes)
+        t0 = time.monotonic()
+        n_audio = 0
+        while ad.decode() is not None:
+            n_audio += 1
+        atimes.append(time.monotonic() - t0)
+    out['mp2_frames_per_s'] = round(n_audio / _median(atimes), 1)
 
 
 # --------------------------------------------------------------------------
@@ -819,6 +832,11 @@ def main(host_only=False):
         if value is not None:
             result['value'] = value
             result['vs_baseline'] = round(value / 30.0, 3)
+        try:
+            from jsmpeg_tpu.host.native import host_canary
+            result['host_canary_end'] = host_canary()
+        except Exception:                       # noqa: BLE001
+            pass
     if result['value'] is None:
         # persistent device failure: keep rc=0 and a parsed metric by
         # reporting the host parse stage as the headline, clearly labeled

@@ -102,6 +102,45 @@ def native_available() -> bool:
         return False
 
 
+def host_canary(cpu_iters: int = 100_000_000, mem_mb: int = 192,
+                mem_reps: int = 3, runs: int = 3) -> dict:
+    """Fixed-work host-speed probes (median of `runs`): single-core scalar
+    integer throughput (serial xorshift64 chain, Mops/s of xorshift steps)
+    and memory bandwidth (cache-spilling memcpy, GB/s moved).  Emitted in
+    every bench capture so host-coupled rows are comparable across rounds
+    on a shared box."""
+    import time as _time
+    lib = _load()
+    lib.host_canary_cpu.argtypes = [ctypes.c_int64]
+    lib.host_canary_cpu.restype = ctypes.c_uint64
+    lib.host_canary_mem.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64, ctypes.c_int]
+
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    cpu_ts = []
+    for _ in range(runs):
+        t0 = _time.monotonic()
+        lib.host_canary_cpu(cpu_iters)
+        cpu_ts.append(_time.monotonic() - t0)
+    # 3 xorshift steps per iteration
+    int_mops = cpu_iters * 3 / med(cpu_ts) / 1e6
+
+    n = mem_mb * (1 << 20)
+    src = np.ones(n, dtype=np.uint8)
+    dst = np.zeros(n, dtype=np.uint8)   # pre-faulted: page-in cost stays
+                                        # out of the timed region
+    mem_ts = []
+    for _ in range(runs):
+        t0 = _time.monotonic()
+        lib.host_canary_mem(_ptr(dst), _ptr(src), n, mem_reps)
+        mem_ts.append(_time.monotonic() - t0)
+    # each rep copies the buffer both ways: 2*n bytes written + 2*n read
+    mem_gb_s = 4.0 * n * mem_reps / med(mem_ts) / 1e9
+    return {'int_mops': round(int_mops, 1), 'mem_gb_s': round(mem_gb_s, 2)}
+
+
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
 

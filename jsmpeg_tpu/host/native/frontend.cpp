@@ -912,4 +912,35 @@ int64_t mpeg1_parser_frames_parsed(void* p) {
   return ((Parser*)p)->frames_parsed;
 }
 
+// --------------------------------------------------------------------------
+// Host-speed canary: fixed-work probes compiled with the same toolchain and
+// flags as the parse stage, so bench captures on this shared box are
+// comparable across rounds (a halved host_parse_fps with an unchanged canary
+// is a real regression; halved together it is outside load).
+// --------------------------------------------------------------------------
+
+// Serial xorshift64 dependency chain: not vectorizable, measures
+// single-core scalar integer throughput.  Returns the final state so the
+// loop cannot be optimized away.
+uint64_t host_canary_cpu(int64_t iters) {
+  uint64_t x = 0x9E3779B97F4A7C15ull;
+  for (int64_t i = 0; i < iters; i++) {
+    x ^= x << 13;
+    x ^= x >> 7;
+    x ^= x << 17;
+  }
+  return x;
+}
+
+// Streaming copy over caller-provided buffers (sized to spill every cache
+// level): measures effective memory bandwidth.
+void host_canary_mem(uint8_t* dst, const uint8_t* src, int64_t len,
+                     int reps) {
+  for (int r = 0; r < reps; r++) {
+    std::memcpy(dst, src, (size_t)len);
+    // alternate direction so neither buffer stays resident in cache
+    std::memcpy(const_cast<uint8_t*>(src), dst, (size_t)len);
+  }
+}
+
 }  // extern "C"
