@@ -51,6 +51,23 @@ inline int32_t vlc(BitView& bits, const uint32_t* lut, int maxbits) {
   return (int32_t)(enc & 0xFFFFFF) - 0x800000;
 }
 
+// L1-resident primary level over the 2^16-entry DCT-coefficient LUT (256 KB
+// -- every lookup spills to L2; see L1d 48 KiB on the bench host).  Codes of
+// <= DCT_PRIMARY_BITS bits (the overwhelming majority of coefficients, incl.
+// EOB and the 6-bit escape prefix) resolve from a 4 KB table; longer codes
+// fall through to the full table.
+constexpr int DCT_PRIMARY_BITS = 10;
+uint32_t DCT_PRIMARY[1 << DCT_PRIMARY_BITS];
+const bool dct_primary_init = [] {
+  for (int p = 0; p < (1 << DCT_PRIMARY_BITS); p++) {
+    uint32_t enc =
+        VLC_DCT_COEFF[p << (VLC_DCT_COEFF_BITS - DCT_PRIMARY_BITS)];
+    int n = enc >> 24;
+    DCT_PRIMARY[p] = (n != 0 && n <= DCT_PRIMARY_BITS) ? enc : 0;
+  }
+  return true;
+}();
+
 struct SeqInfo {
   int width = 0, height = 0, mb_w = 0, mb_h = 0, mb_size = 0;
   int frame_rate_code = 0;
@@ -95,6 +112,14 @@ struct PictureParser {
   BitView bits;
   int32_t block_data[64] = {0};
   int16_t raw_levels[64] = {0};
+  // nonzero (position, value) list of the current block, recorded during
+  // the VLC loop so sparse/packed emission never rescans all 64 slots.
+  // Scan positions are unique within a block (n is strictly increasing),
+  // and the device scatters pairs by position -- emission order within a
+  // block is free.
+  uint8_t nz_pos[64];
+  int16_t nz_val[64];
+  int nz = 0;
   bool bd_dirty = false;      // scratch holds stale non-DC values
   bool leaky = false;         // a stale value reached an emitted block
   bool error = false;
@@ -270,6 +295,11 @@ struct PictureParser {
     int n = 0;
     const int32_t* quant;
     int first_pos = -1;   // position of the first (possibly only) coeff
+    // batch modes consume only raw_levels (the device does dequant); the
+    // serial exact path additionally needs the premultiplied dequantized
+    // coefficients in block_data
+    const bool emit_coef = out.coef != nullptr;
+    nz = 0;
 
     if (intra) {
       int32_t predictor, dct_size;
@@ -294,8 +324,10 @@ struct PictureParser {
       else if (block == 4) dc_cr = block_data[0];
       else dc_cb = block_data[0];
       raw_levels[0] = (int16_t)block_data[0];
+      if (raw_levels[0] != 0) { nz_pos[nz] = 0; nz_val[nz++] = raw_levels[0]; }
       if (block_data[0] != (int32_t)raw_levels[0]) leaky = true;  // overflow
-      block_data[0] = (int32_t)((uint32_t)block_data[0] << 8);
+      if (emit_coef)
+        block_data[0] = (int32_t)((uint32_t)block_data[0] << 8);
       quant = seq->intra_q;
       n = 1;
       first_pos = 0;
@@ -308,7 +340,8 @@ struct PictureParser {
       // EOB/'11' discriminator bit, and the sign bit all come from the
       // same peek (the per-coefficient hot path)
       uint32_t win = bits.peek(24);
-      uint32_t enc = VLC_DCT_COEFF[win >> (24 - VLC_DCT_COEFF_BITS)];
+      uint32_t enc = DCT_PRIMARY[win >> (24 - DCT_PRIMARY_BITS)];
+      if (enc == 0) enc = VLC_DCT_COEFF[win >> (24 - VLC_DCT_COEFF_BITS)];
       int nb = enc >> 24;
       if (nb == 0) { error = true; return; }
       int32_t packed = (int32_t)(enc & 0xFFFFFF) - 0x800000;
@@ -343,29 +376,33 @@ struct PictureParser {
       if (first_coeff) first_pos = dez;
       n++;
       raw_levels[dez] = (int16_t)level;
-      level *= 2;   // (x*2 == x<<1; shifting negatives is formally UB)
-      if (!intra) level += level < 0 ? -1 : 1;
-      level = (int32_t)((int64_t)level * qscale * quant[dez]) >> 4;
-      if ((level & 1) == 0) level -= level > 0 ? 1 : -1;
-      if (level > 2047) level = 2047;
-      else if (level < -2048) level = -2048;
-      block_data[dez] = level * PREMULTIPLIER[dez];
+      if (level != 0) { nz_pos[nz] = (uint8_t)dez; nz_val[nz++] = (int16_t)level; }
+      if (emit_coef) {
+        level *= 2;   // (x*2 == x<<1; shifting negatives is formally UB)
+        if (!intra) level += level < 0 ? -1 : 1;
+        level = (int32_t)((int64_t)level * qscale * quant[dez]) >> 4;
+        if ((level & 1) == 0) level -= level > 0 ? 1 : -1;
+        if (level > 2047) level = 2047;
+        else if (level < -2048) level = -2048;
+        block_data[dez] = level * PREMULTIPLIER[dez];
+      }
     }
 
     if (addr >= 0) out.coded[addr * 6 + block] = 1;
 
-    auto emit_sparse = [&](int upto) {
+    auto emit_nz = [&]() {
+      // emit the recorded nonzero pairs of this block (VLC scan order;
+      // the device scatters by position, so within-block order is free)
       if (addr < 0) return;
       if (out.sp_pos) {
         // packed mode: every coded block advances the device-side slot
         // counter exactly once (bit 7), even when it has no nonzero level
         // (marker with bit 6: consumed as a slot advance, never scattered)
         uint8_t first = 0x80;
-        for (int i = 0; i < upto; i++) {
-          int16_t v = raw_levels[i];
-          if (!v) continue;
+        for (int k = 0; k < nz; k++) {
+          int16_t v = nz_val[k];
           if (out.sp_count >= out.sp_cap) { out.sp_overflow = true; return; }
-          out.sp_pos[out.sp_count] = (uint8_t)i | first;
+          out.sp_pos[out.sp_count] = nz_pos[k] | first;
           if (v >= -127 && v <= 127) {
             out.sp_v8[out.sp_count] = (int8_t)v;
           } else {
@@ -389,12 +426,10 @@ struct PictureParser {
       }
       if (!out.sp_idx) return;
       int64_t base = out.sp_base + (addr * 6 + block) * 64;
-      for (int i = 0; i < upto; i++) {
-        int16_t v = raw_levels[i];
-        if (!v) continue;
+      for (int k = 0; k < nz; k++) {
         if (out.sp_count >= out.sp_cap) { out.sp_overflow = true; return; }
-        out.sp_idx[out.sp_count] = (int32_t)(base + i);
-        out.sp_val[out.sp_count] = v;
+        out.sp_idx[out.sp_count] = (int32_t)(base + nz_pos[k]);
+        out.sp_val[out.sp_count] = nz_val[k];
         out.sp_count++;
       }
     };
@@ -409,7 +444,8 @@ struct PictureParser {
         if (first_pos == 0) {
           if (out.levels)
             out.levels[(addr * 6 + block) * 64] = raw_levels[0];
-          emit_sparse(1);
+          emit_nz();   // n==1 forces the coefficient to slot 0, so the nz
+                       // list is exactly {pos 0} or empty here
         }
         // first_pos != 0 (leak case): reference adds (0+128)>>8 == 0, so
         // an all-zero levels block is exact for THIS block.
@@ -431,10 +467,16 @@ struct PictureParser {
         if (out.levels)
           std::memcpy(out.levels + (addr * 6 + block) * 64, raw_levels,
                       64 * 2);
-        emit_sparse(64);
+        emit_nz();
       }
-      std::memset(block_data, 0, sizeof(block_data));
-      std::memset(raw_levels, 0, sizeof(raw_levels));
+      if (emit_coef)
+        std::memset(block_data, 0, sizeof(block_data));
+      else
+        block_data[0] = 0;    // only the DC slot is written in batch mode
+      // selective scratch clear: every nonzero write is in the nz list
+      // (escape-zero levels write a zero, which needs no clearing)
+      raw_levels[0] = 0;
+      for (int k = 0; k < nz; k++) raw_levels[nz_pos[k]] = 0;
     }
   }
 };
