@@ -36,6 +36,9 @@ def main(argv=None) -> int:
                     help='write the first decoded frame to this .ppm/.png '
                          '(the data-poster analog)')
     ap.add_argument('--stats', action='store_true', help='print decode stats')
+    ap.add_argument('--progress', action='store_true',
+                    help='show a loading-progress bar on stderr (auto-on '
+                         'when stderr is a TTY)')
     ap.add_argument('--realtime', action='store_true',
                     help='pace decoding to wallclock')
     ap.add_argument('--seconds', type=float, default=None,
@@ -95,6 +98,8 @@ def main(argv=None) -> int:
     p = Player(args.source, options, renderer=renderer, audio_out=audio_out)
     if renderer is None:
         renderer = p.renderer
+    if renderer is not None and (args.progress or sys.stderr.isatty()):
+        renderer.progress_stream = sys.stderr
     if isinstance(renderer, Y4MWriter) and p.video is not None:
         pass  # frame rate filled in below once the sequence header is seen
 

@@ -53,11 +53,15 @@ def write_image(path: str, rgb: np.ndarray) -> None:
 
 class VideoSinkBase:
     enabled = True
+    # set to a writable stream (e.g. sys.stderr) to surface loading
+    # progress as a carriage-return bar; None keeps it silent
+    progress_stream = None
 
     def __init__(self):
         self.width = 0
         self.height = 0
         self.frames_rendered = 0
+        self._progress_last = -1.0
 
     def resize(self, width: int, height: int) -> None:
         self.width = width
@@ -67,7 +71,20 @@ class VideoSinkBase:
         raise NotImplementedError
 
     def render_progress(self, progress: float) -> None:
-        pass
+        """Loading-progress surface.  The reference renders a bar on the
+        canvas before playback starts (src/webgl.js:283-292,
+        src/canvas2d.js:36-46); the off-browser analog is a progress line
+        on `progress_stream` (the CLI points it at stderr)."""
+        s = self.progress_stream
+        if s is None:
+            return
+        if progress >= 1.0 or progress - self._progress_last >= 0.01:
+            self._progress_last = progress
+            bar = '=' * int(min(max(progress, 0.0), 1.0) * 24)
+            s.write(f'\rloading [{bar:<24}] {progress * 100:3.0f}%')
+            if progress >= 1.0:
+                s.write('\n')
+            s.flush()
 
     def close(self) -> None:
         pass

@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import socket
 import threading
+import time
 from typing import Optional
 
 
@@ -77,6 +78,7 @@ class ProgressiveFileSource(BaseSource):
         self.file_size = os.path.getsize(path)
         self.loaded_size = 0
         self._fh = None
+        self._load_time = 0.0
 
     def start(self) -> None:
         self._fh = open(self.path, 'rb')
@@ -88,15 +90,20 @@ class ProgressiveFileSource(BaseSource):
             self._fh = None
 
     def resume(self, seconds_headroom: float) -> None:
-        # the reference keeps loading while estimated load time (negligible
-        # locally) + 2s exceeds the headroom
-        if self.throttled and seconds_headroom <= 2.0:
+        # adaptive throttle (reference src/ajax-progressive.js:47-58): load
+        # the next chunk while the worst-case estimated load time -- 8x the
+        # last measured chunk load + 2 s -- exceeds the decode headroom.  A
+        # slow medium therefore prefetches earlier; a fast one avoids
+        # loading far ahead of playback.
+        if self.throttled and seconds_headroom <= self._load_time * 8 + 2.0:
             self.load_next_chunk()
 
     def load_next_chunk(self) -> None:
         if self._fh is None or self.completed:
             return
+        t0 = time.monotonic()
         chunk = self._fh.read(self.chunk_size)
+        self._load_time = time.monotonic() - t0
         self.loaded_size += len(chunk)
         self.established = True
         self.progress = self.loaded_size / max(self.file_size, 1)
@@ -125,6 +132,7 @@ class HTTPSource(BaseSource):
         self.throttled = throttled
         self.file_size = 0
         self.loaded_size = 0
+        self._load_time = 0.0
 
     def start(self) -> None:
         import urllib.request
@@ -151,7 +159,9 @@ class HTTPSource(BaseSource):
             self.destination.write(data)
 
     def resume(self, seconds_headroom: float) -> None:
-        if self.throttled and seconds_headroom <= 2.0:
+        # adaptive: worst-case load estimate = 8x last measured + 2 s
+        # (reference src/ajax-progressive.js:52-56)
+        if self.throttled and seconds_headroom <= self._load_time * 8 + 2.0:
             self.load_next_chunk()
 
     def load_next_chunk(self) -> None:
@@ -162,6 +172,7 @@ class HTTPSource(BaseSource):
         end = min(start + self.chunk_size, self.file_size) - 1
         req = urllib.request.Request(
             self.url, headers={'Range': f'bytes={start}-{end}'})
+        t0 = time.monotonic()
         for attempt in range(3):
             try:
                 with urllib.request.urlopen(req) as r:
@@ -170,6 +181,7 @@ class HTTPSource(BaseSource):
             except OSError:
                 if attempt == 2:
                     raise
+        self._load_time = time.monotonic() - t0
         self.loaded_size += len(chunk)
         self.established = True
         self.progress = self.loaded_size / max(self.file_size, 1)

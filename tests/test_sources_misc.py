@@ -53,6 +53,54 @@ def test_http_progressive_source(http_server):
         assert np.array_equal(gy, py)
 
 
+def test_adaptive_throttle_slow_source(tmp_path):
+    """The progressive throttle must scale with measured chunk load time
+    (reference src/ajax-progressive.js:47-58: worst case = loadTime*8+2):
+    a slow medium prefetches at high headroom, a fast one does not."""
+    from jsmpeg_tpu.sources import ProgressiveFileSource
+    path = tmp_path / 'clip.bin'
+    path.write_bytes(b'x' * 4096)
+    src = ProgressiveFileSource(str(path), chunk_size=512)
+    got = []
+
+    class Dest:
+        def write(self, b):
+            got.append(len(b))
+    src.connect(Dest())
+    src.start()
+    # fast source (local file, ~0 load time): 3 s headroom > 0*8+2 -> hold
+    src.resume(3.0)
+    assert len(got) == 1
+    # slow source: simulate a 0.5 s measured chunk load -> worst case 6 s;
+    # the same 3 s headroom must now trigger a prefetch
+    src._load_time = 0.5
+    src.resume(3.0)
+    assert len(got) == 2
+    # and low headroom still loads regardless of speed
+    src._load_time = 0.0
+    src.resume(1.0)
+    assert len(got) == 3
+
+
+def test_render_progress_surface():
+    """render_progress draws a stderr-style bar when a stream is attached
+    (reference loading bar: src/canvas2d.js:36-46) and stays silent
+    otherwise."""
+    import io
+
+    from jsmpeg_tpu.sinks import VideoCollector
+    vc = VideoCollector()
+    vc.render_progress(0.5)            # silent: no stream attached
+    buf = io.StringIO()
+    vc.progress_stream = buf
+    vc.render_progress(0.25)
+    vc.render_progress(0.253)          # <1% delta: no redraw
+    vc.render_progress(1.0)
+    out = buf.getvalue()
+    assert ' 25%' in out and '100%' in out
+    assert out.count('\r') == 2 and out.endswith('\n')
+
+
 def test_http_whole_file(http_server):
     url, es = http_server
     vc = VideoCollector()
