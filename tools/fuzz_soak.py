@@ -220,6 +220,37 @@ MODES = ('bitflips', 'truncate', 'garbage_prefix', 'drop_packets',
          'dup_packets', 'mix')
 
 
+def _elastic_failure_round(es: bytes, rng) -> None:
+    """Elastic GOP-shard decode with a randomly SIGKILLed worker: the
+    re-dispatched shards must still produce a bit-exact decode
+    (parallel/elastic.py; SURVEY section 5 distributed recovery)."""
+    import signal
+
+    from jsmpeg_tpu.parallel.elastic import decode_gops_elastic
+    from jsmpeg_tpu.parallel.multihost import index_gops
+    from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+    _, ranges = index_gops(es)
+    if len(ranges) < 2:
+        return
+    victim = int(rng.integers(0, 3))
+    killed = []
+
+    def on_assign(worker_id, pid, gop_index):
+        if worker_id == victim and not killed:
+            os.kill(pid, signal.SIGKILL)
+            killed.append(gop_index)
+
+    counts, frames = decode_gops_elastic(
+        es, n_workers=3, worker_env={'JAX_PLATFORMS': 'cpu'},
+        on_assign=on_assign)
+    golden = OracleMPEG1(es).decode_all()
+    assert len(frames) == len(golden), (len(frames), len(golden))
+    for (y, cr, cb), (gy, gcr, gcb) in zip(frames, golden):
+        assert np.array_equal(y, gy) and np.array_equal(cr, gcr) \
+            and np.array_equal(cb, gcb)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument('--seconds', type=float, default=3600)
@@ -251,6 +282,8 @@ def main(argv=None) -> int:
                 _streams_round(rng, mode)
             if it % 6 == 4:
                 _mesh_differential(es, rng)
+            if it % 12 == 7:
+                _elastic_failure_round(es, rng)
         except Exception as e:                      # log + keep going
             fails += 1
             rec = {'seed': seed, 'mode': mode, 'error': repr(e),
