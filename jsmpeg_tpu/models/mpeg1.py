@@ -758,6 +758,57 @@ class FrameSeq:
         return Planes(cat(ys), cat(crs), cat(cbs))
 
 
+_upload_probe: dict = {}
+
+# wire_ids costs +2 B per coded block of upload and saves the device-side
+# coded-ordinal cumsum (measured +8% device rate, BENCH_r04 ids A/B row).
+# It pays off iff H2D is fast enough that the extra bytes cost less than
+# the saved device time: ~0.2 MB extra per 32-frame 720p batch needs to
+# upload in under the ~3 ms it saves -> ~100 MB/s breakeven; threshold set
+# 2x above it so the slow tunneled link here stays comfortably OFF.
+WIRE_IDS_FAST_LINK_MB_S = 200.0
+
+
+def transport_upload_mb_s(refresh: bool = False) -> float:
+    """One-shot per-process H2D probe: device_put a 1 MB buffer and force
+    materialization with a tiny fetch (block_until_ready returns early on
+    some transports).  Cached so serving fleets pay it once."""
+    if _upload_probe and not refresh:
+        return _upload_probe['mb_s']
+    import time
+
+    from ..utils import fetch
+    buf = np.zeros(1 << 20, np.uint8)
+    np.asarray(fetch(jax.device_put(buf[:4096])[:4]))   # wake link + jit
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        np.asarray(fetch(jax.device_put(buf)[:4]))
+        best = max(best, len(buf) / 1e6 / (time.monotonic() - t0))
+    _upload_probe['mb_s'] = best
+    return best
+
+
+def auto_wire_ids() -> bool:
+    """The wire_ids policy: ship ids on fast H2D links, save the bytes on
+    slow ones (see WIRE_IDS_FAST_LINK_MB_S)."""
+    try:
+        return transport_upload_mb_s() >= WIRE_IDS_FAST_LINK_MB_S
+    except Exception:       # no usable device: the flag is moot
+        return False
+
+
+def resolve_wire_ids(value) -> object:
+    """Normalize a wire_ids option/env value: True/False pass through,
+    None/''/'auto' defer to the transport probe (returned as 'auto' for
+    lazy resolution), '0'/'false' disable."""
+    if isinstance(value, bool):
+        return value
+    if value in (None, '', 'auto'):
+        return 'auto'
+    return value not in ('0', 'false', 'False', 0)
+
+
 class MPEG1Decoder:
     """Streaming-capable MPEG1 video decoder (TPU pipeline).
 
@@ -789,12 +840,14 @@ class MPEG1Decoder:
         # (semantics of the reference Decoder.Base, src/decoder.js:36-102)
         self.streaming = bool(options.get('streaming'))
         # fast-link wire option: ship coded-block ids (+2 B/block) so the
-        # device skips the ordinal computation; off by default (the
-        # tunneled H2D here is upload-bound).  Env value '0'/'false'
-        # means OFF, like the other tuning flags.
-        env_wi = os.environ.get('JSMPEG_TPU_WIRE_IDS')
-        self.wire_ids = bool(options.get(
-            'wire_ids', env_wi not in (None, '', '0', 'false', 'False')))
+        # device skips the ordinal computation.  Default 'auto': resolved
+        # lazily from a one-shot H2D transport probe (fast links turn it
+        # on, the tunneled upload-bound link here stays off).  Explicit
+        # option or env ('0'/'false' = OFF, '1' = ON, 'auto') wins.
+        wi = options.get('wire_ids')
+        if wi is None:
+            wi = os.environ.get('JSMPEG_TPU_WIRE_IDS')
+        self._wire_ids = resolve_wire_ids(wi)
         # scan-carry layout experiment: carry reference planes in MB-block
         # layout (halves per-step uint8 relayouts; A/B'd on-chip before
         # any default flip).  Env value '0'/'false' means OFF so A/B
@@ -833,6 +886,23 @@ class MPEG1Decoder:
         self.can_play = False
 
     # ------------------------------------------------------- decoder API
+
+    @property
+    def wire_ids(self) -> bool:
+        """'auto' resolves on first read (i.e. at the first wire build,
+        so parse-only uses never pay the device probe).  Probe-chosen
+        True quietly drops back to False on grids whose block ids exceed
+        the uint16 wire field (only an explicit True should refuse)."""
+        if self._wire_ids == 'auto':
+            self._wire_ids = auto_wire_ids()
+            if (self._wire_ids and self.parser.seq is not None
+                    and self.parser.seq.mb_size * 6 > 0xFFFE):
+                self._wire_ids = False
+        return self._wire_ids
+
+    @wire_ids.setter
+    def wire_ids(self, value) -> None:
+        self._wire_ids = resolve_wire_ids(value)
 
     def connect(self, destination) -> None:
         self.destination = destination

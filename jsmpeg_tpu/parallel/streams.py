@@ -162,7 +162,7 @@ class MultiStreamDecoder:
     outside the joint dispatch."""
 
     def __init__(self, n_streams: int, batch_frames: int = 32,
-                 wire_ids: bool = False, block_carry: bool = False,
+                 wire_ids='auto', block_carry: bool = False,
                  mc_method: str = None,
                  streaming: bool = False,
                  buffer_size: int = 512 * 1024,
@@ -188,10 +188,15 @@ class MultiStreamDecoder:
         self.buffer_size = buffer_size
         # production tuning flags, same semantics as MPEG1Decoder's:
         # wire_ids ships coded-block ids (+2 B/block) so the device skips
-        # the ordinal computation (worth it where H2D is cheap -- which
-        # serving hosts usually are); block_carry keeps the scan carry in
-        # MB-block layout (A/B'd on chip)
-        self.wire_ids = bool(wire_ids)
+        # the ordinal computation; 'auto' (default) resolves from the
+        # one-shot H2D transport probe -- serving hosts with cheap H2D
+        # turn it on, tunneled links stay off (models/mpeg1.py policy).
+        # block_carry keeps the scan carry in MB-block layout (A/B'd
+        # on chip).
+        from ..models.mpeg1 import auto_wire_ids, resolve_wire_ids
+        wi = resolve_wire_ids(wire_ids)
+        self._wire_ids_auto = wi == 'auto'
+        self.wire_ids = auto_wire_ids() if wi == 'auto' else wi
         self.block_carry = bool(block_carry)
         # MC formulation override ('fused' = half-pel taps folded into
         # bf16 weight matmuls, ops/motion.py; bit-exact either way)
@@ -489,11 +494,17 @@ class MultiStreamDecoder:
             # overflow the id field (and collide with the 0xFFFF padding
             # sentinel).  Refuse up front instead of decoding garbage.
             if self.wire_ids and self.n * n_mb * 6 > 0xFFFE:
-                raise ValueError(
-                    f'wire_ids + stacked: joint grid of {self.n}×{n_mb} '
-                    f'MBs needs block ids up to {self.n * n_mb * 6 - 1} '
-                    f'> 0xFFFE (uint16 wire field) — use '
-                    f"mode='roundrobin' or wire_ids=False")
+                if self._wire_ids_auto:
+                    # probe-chosen, not user-chosen: silently drop the
+                    # optimization instead of refusing the fleet
+                    self.wire_ids = False
+                else:
+                    raise ValueError(
+                        f'wire_ids + stacked: joint grid of '
+                        f'{self.n}×{n_mb} MBs needs block ids up to '
+                        f'{self.n * n_mb * 6 - 1} > 0xFFFE (uint16 wire '
+                        f"field) — use mode='roundrobin' or "
+                        f'wire_ids=False')
             per_stream = [split_packed_frames(b) if b.get('n', 0) else []
                           for b in batches]
             joint, vseg = stack_stream_frames(per_stream, n_mb, F)

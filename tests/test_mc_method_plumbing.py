@@ -210,3 +210,73 @@ def test_player_threads_tuning_flags(monkeypatch):
     monkeypatch.setenv('JSMPEG_TPU_BLOCK_CARRY', '1')
     assert Player(b'', {}).video.block_carry is True
     assert Player(b'', {'blockCarry': False}).video.block_carry is False
+
+
+def test_wire_ids_auto_policy():
+    """wire_ids defaults to 'auto': the one-shot H2D probe turns it on
+    for fast links and off for slow ones; explicit values and env
+    ('0'/'1'/'auto') win over the probe (round-4 verdict item 9)."""
+    import jsmpeg_tpu.models.mpeg1 as m
+
+    saved = dict(m._upload_probe)
+    try:
+        # fast link class (a serving host with local PCIe H2D)
+        m._upload_probe.clear()
+        m._upload_probe['mb_s'] = 1000.0
+        assert m.auto_wire_ids() is True
+        dec = MPEG1Decoder()
+        assert dec._wire_ids == 'auto'      # lazy until first read
+        assert dec.wire_ids is True
+
+        # slow link class (the tunneled transport, BENCH upload_mb_s ~3-30)
+        m._upload_probe['mb_s'] = 30.0
+        assert m.auto_wire_ids() is False
+        assert MPEG1Decoder().wire_ids is False
+
+        # explicit option and env beat the probe
+        assert MPEG1Decoder({'wire_ids': True}).wire_ids is True
+        m._upload_probe['mb_s'] = 1000.0
+        assert MPEG1Decoder({'wire_ids': False}).wire_ids is False
+        import os
+        os.environ['JSMPEG_TPU_WIRE_IDS'] = '0'
+        try:
+            assert MPEG1Decoder().wire_ids is False
+        finally:
+            del os.environ['JSMPEG_TPU_WIRE_IDS']
+
+        # settable after construction (serving fleets flip per-link)
+        dec2 = MPEG1Decoder()
+        dec2.wire_ids = 'auto'
+        assert dec2.wire_ids is True        # probe says fast
+    finally:
+        m._upload_probe.clear()
+        m._upload_probe.update(saved)
+
+
+@needs_native
+def test_wire_ids_auto_drops_on_oversized_grid():
+    """Probe-chosen True quietly drops to False when the joint stacked
+    grid's block ids exceed the uint16 wire field (explicit True still
+    refuses -- covered by test_multistream)."""
+    import jsmpeg_tpu.models.mpeg1 as m
+    from jsmpeg_tpu.parallel.streams import MultiStreamDecoder
+
+    saved = dict(m._upload_probe)
+    try:
+        m._upload_probe.clear()
+        m._upload_probe['mb_s'] = 1000.0
+        s = 16
+        dec = MultiStreamDecoder(s, mode='stacked')
+        assert dec.wire_ids is True and dec._wire_ids_auto
+        # feed streams whose joint grid overflows: 16 x 96x64 = 16*24 MBs
+        # -> fine; use a bigger geometry to overflow 0xFFFE/6 = 10922 MBs
+        es, _ = encode_test_stream(1280, 720, n_frames=1, seed=1, gop=1)
+        # 16 x 3600 MBs = 57600 > 10922: the stacked guard must demote
+        for i in range(s):
+            dec.write(i, es)
+        outs = dec.decode_all(eof=True)
+        assert dec.wire_ids is False        # demoted, not raised
+        assert all(len(o) == 1 for o in outs)
+    finally:
+        m._upload_probe.clear()
+        m._upload_probe.update(saved)
