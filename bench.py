@@ -229,9 +229,14 @@ def measure_streaming_latency():
         spans.append(ts[prev:])
         prev = len(ts)
 
-    def run(inline=False):
+    def run(inline=None):
+        # inline=None is the product default: auto-select (inline on the
+        # F=1 streaming dispatches, the round-4-winning arm)
         dem = TSDemuxer()
-        dec = MPEG1Decoder({'streaming': True, 'inline_upload': inline})
+        opts = {'streaming': True}
+        if inline is not None:
+            opts['inline_upload'] = inline
+        dec = MPEG1Decoder(opts)
         dem.connect(0xE0, dec)
         lats = []
         for ts_chunk in spans:
@@ -259,13 +264,14 @@ def measure_streaming_latency():
     for _ in range(3):
         lats += run()
     out = pcts(lats)
-    # A/B: inline upload (host buffer handed to the jitted call; PJRT
-    # folds the transfer into the dispatch -- fewer round trips on some
-    # transports)
+    # A/B: the feeder-thread upload arm (explicit device_put on a worker
+    # thread).  The default above auto-selects inline upload at F=1 --
+    # the arm that won the round-4 A/B (p95 54 vs 131 ms); this row keeps
+    # the loser on the record so the auto-policy stays justified.
     lats_i = []
     for _ in range(3):
-        lats_i += run(inline=True)
-    out['inline'] = pcts(lats_i)
+        lats_i += run(inline=False)
+    out['feeder'] = pcts(lats_i)
     return out
 
 

@@ -862,14 +862,20 @@ class MPEG1Decoder:
         # default flip.
         self.mc_method = options.get(
             'mc_method', os.environ.get('JSMPEG_TPU_MC') or None)
-        # latency experiment: skip the explicit device_put and let the
-        # jitted call transfer the wire buffer (fewer transport round
-        # trips on some links; loses the feeder thread's overlap).  Env
-        # value '0'/'false' means OFF, matching JSMPEG_TPU_BLOCK_CARRY.
-        env_ih = os.environ.get('JSMPEG_TPU_INLINE_H2D')
-        self.inline_upload = bool(options.get(
-            'inline_upload',
-            env_ih not in (None, '', '0', 'false', 'False')))
+        # upload mode: skip the explicit device_put and let the jitted
+        # call transfer the wire buffer (fewer transport round trips; but
+        # loses the feeder thread's overlap).  Default auto (None):
+        # inline on single-frame dispatches -- the streaming latency
+        # path, where the round-4 A/B measured p95 54 vs 131 ms -- and
+        # feeder-overlapped on multi-frame batches, where overlap wins
+        # the sustained rate.  Explicit option or env ('0' = feeder,
+        # '1' = inline, 'auto') wins.
+        ih = options.get('inline_upload')
+        if ih is None:
+            ih = os.environ.get('JSMPEG_TPU_INLINE_H2D')
+        self.inline_upload = (None if ih in (None, '', 'auto')
+                              else ih not in ('0', 'false', 'False',
+                                              0, False))
         # serving cold-start: compile the single-frame scan variants on
         # a dedicated thread as soon as the sequence header arrives
         env_pw = os.environ.get('JSMPEG_TPU_PREWARM')
@@ -1269,7 +1275,9 @@ class MPEG1Decoder:
             sticky = self._wire_sticky = {}
         buf, n_blk, n_runs, mv_wide, n_pairs, n_esc = build_fused_buffer(
             batch, F, seq.mb_size, wire_ids=self.wire_ids, sticky=sticky)
-        if self.inline_upload:
+        inline = (self.inline_upload if self.inline_upload is not None
+                  else F == 1)
+        if inline:
             # hand the host buffer straight to the jitted call: PJRT
             # folds the transfer into the dispatch (latency A/B -- on
             # some transports this saves a device_put round trip; the

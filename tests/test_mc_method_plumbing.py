@@ -123,14 +123,18 @@ def test_motion_compensate_multi_guard_matches_single():
                                           err_msg=f'band={band}')
 
 
-def test_inline_upload_env_zero_means_off(monkeypatch):
-    for val, want in (('0', False), ('false', False), ('', False),
-                      ('1', True), ('inline', True)):
+def test_inline_upload_env_and_auto_default(monkeypatch):
+    """inline_upload: env '0'/'false' forces feeder, '1' forces inline,
+    ''/'auto'/unset leave the auto policy (None -> inline iff F == 1,
+    the round-4-winning latency arm)."""
+    for val, want in (('0', False), ('false', False), ('', None),
+                      ('auto', None), ('1', True), ('inline', True)):
         monkeypatch.setenv('JSMPEG_TPU_INLINE_H2D', val)
         assert MPEG1Decoder().inline_upload is want, val
     monkeypatch.delenv('JSMPEG_TPU_INLINE_H2D')
-    assert MPEG1Decoder().inline_upload is False
+    assert MPEG1Decoder().inline_upload is None          # auto
     assert MPEG1Decoder({'inline_upload': True}).inline_upload is True
+    assert MPEG1Decoder({'inline_upload': False}).inline_upload is False
 
 
 @needs_native
