@@ -107,9 +107,14 @@ def render(row: dict, source: str) -> str:
     if isinstance(lat, dict):
         txt = (f'p50 {lat["p50"]:.0f} ms / p95 {lat["p95"]:.0f} ms incl. '
                'one readback RPC (reference claims ~50 ms)')
-        inl = lat.get('inline')
-        if isinstance(inl, dict) and inl.get('p50') == inl.get('p50'):
-            txt += f'; inline-upload A/B p50 {inl["p50"]:.0f} ms'
+        # A/B arm: 'feeder' (r05+: default is auto-inline at F=1) or
+        # 'inline' (r04 captures: default was the feeder thread)
+        for key, lbl in (('feeder', 'feeder-upload A/B'),
+                         ('inline', 'inline-upload A/B')):
+            arm = lat.get(key)
+            if isinstance(arm, dict) and arm.get('p50') == arm.get('p50'):
+                txt += (f'; {lbl} p50 {arm["p50"]:.0f} / '
+                        f'p95 {arm["p95"]:.0f} ms')
         add('live-streaming chunk-to-frame latency at 720p', txt)
     elif lat:
         add('live-streaming chunk-to-frame latency at 720p',
