@@ -603,9 +603,13 @@ def device_rows(emit):
                    z10(s10.coded_height >> 1, s10.coded_width >> 1))
     iq10 = jnp.asarray(s10.intra_quant_matrix, dtype=jnp.int32)
     nq10 = jnp.asarray(s10.non_intra_quant_matrix, dtype=jnp.int32)
+    # the decoder's geometry-tuned flags (round-5 1080p sweep winners:
+    # fused_pair MC + block-space carry at big frames)
+    mc10, bc10 = d10._tuned_flags()
     kw10 = dict(mb_h=s10.mb_height, mb_w=s10.mb_width, n_frames=32,
                 n_blk=nb10, n_runs=nr10, n_pairs=np10, n_esc=ne10,
-                band_halo=MPEG1Decoder._band_halo(b10), mv_wide=mvw10)
+                band_halo=MPEG1Decoder._band_halo(b10), mv_wide=mvw10,
+                mc_method=mc10, block_carry=bc10)
     r10 = decode_scan_fused(cur10, cur10, dev10, iq10, nq10, **kw10)
     np.asarray(fetch(r10[2].y[-1, :1, :4]))
     t0 = time.monotonic()

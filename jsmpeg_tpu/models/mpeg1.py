@@ -279,6 +279,12 @@ def decode_scan_fused(cur: Planes, fwd: Planes, buf: jnp.ndarray,
 # under a fori_loop -- the compiled graph holds ONE segment-sized scatter
 SCATTER_SEG = 393216
 
+# packed_to_levels formulation crossover (total dense blocks F*n_mb*6):
+# at or above this, per-pair direct flat scatter beats the compact
+# lattice + row-wise expand (measured round 5: 1080p/32f 1.57M blocks,
+# direct 17 ms vs expand 69 ms; 720p/32f 0.69M blocks, expand wins ~3%)
+P2L_DIRECT_MIN_BLOCKS = 1 << 20
+
 
 def _scatter_pairs(flat: jnp.ndarray, idx: jnp.ndarray,
                    val: jnp.ndarray) -> jnp.ndarray:
@@ -327,19 +333,35 @@ def packed_to_levels(flags: jnp.ndarray, cbp: jnp.ndarray,
             jnp.arange(mask.shape[0], dtype=jnp.int32),
             mode='drop')[:n_blk]
     slot = indicator_cumsum(sp_pos >> 7) - 1
-    # pairs scatter into the COMPACT per-coded-block lattice by ordinal
-    # (no per-pair flat-id lookup), then one row-wise scatter expands
-    # compact -> dense: scatter cost is per-index on TPU (measured), so
-    # n_blk row updates beat a per-pair gather of flat ids
     pair_ok = (sp_pos & 0x40) == 0
-    cidx = jnp.where(pair_ok,
-                     jnp.clip(slot, 0, n_blk - 1) * 64
-                     + (sp_pos & 63).astype(slot.dtype),
-                     n_blk * 64)
-    compact = jnp.zeros((n_blk * 64,), jnp.int16)
-    compact = _scatter_pairs(compact, cidx, sp_val).reshape(n_blk, 64)
-    flat = jnp.zeros((F * n_mb * 6, 64), jnp.int16).at[blk_dense].set(
-        compact, mode='drop')
+    if oob >= P2L_DIRECT_MIN_BLOCKS:
+        # large grids: pairs scatter DIRECTLY into the dense lattice
+        # (gather each pair's flat block id from the ordinal map, one
+        # per-pair scatter).  Round 2 measured the compact+row-expand
+        # formulation below as the winner at 720p; round 5 re-measured
+        # at 1080p where the row expand dominates packed_to_levels (69
+        # of 85 ms -- HALF the whole decode step) while this direct
+        # scatter does the same job in 17 ms, bit-identical: 1080p went
+        # 190 -> 298 fps at otherwise-default flags.  720p (0.69M
+        # blocks) stays on the row-expand path, which is ~3% faster
+        # there (docs/PERF_ANALYSIS.md round-5 section).
+        gid = blk_dense[jnp.clip(slot, 0, n_blk - 1)]
+        fidx = jnp.where(pair_ok,
+                         gid * 64 + (sp_pos & 63).astype(gid.dtype),
+                         oob * 64)
+        flat = jnp.zeros((F * n_mb * 6 * 64,), jnp.int16)
+        flat = _scatter_pairs(flat, fidx, sp_val).reshape(F * n_mb * 6, 64)
+    else:
+        # small grids: compact per-coded-block lattice by ordinal, then
+        # one row-wise expand (n_blk row updates)
+        cidx = jnp.where(pair_ok,
+                         jnp.clip(slot, 0, n_blk - 1) * 64
+                         + (sp_pos & 63).astype(slot.dtype),
+                         n_blk * 64)
+        compact = jnp.zeros((n_blk * 64,), jnp.int16)
+        compact = _scatter_pairs(compact, cidx, sp_val).reshape(n_blk, 64)
+        flat = jnp.zeros((F * n_mb * 6, 64), jnp.int16).at[blk_dense].set(
+            compact, mode='drop')
     return LevelsArrays(
         levels=flat.reshape(F, n_mb, 6, 64), qscale=qscale, coded=coded,
         intra=intra, written=written, mv_h=mv16[..., 0].astype(jnp.int32),
@@ -848,14 +870,17 @@ class MPEG1Decoder:
         if wi is None:
             wi = os.environ.get('JSMPEG_TPU_WIRE_IDS')
         self._wire_ids = resolve_wire_ids(wi)
-        # scan-carry layout experiment: carry reference planes in MB-block
-        # layout (halves per-step uint8 relayouts; A/B'd on-chip before
-        # any default flip).  Env value '0'/'false' means OFF so A/B
-        # scripts can toggle both ways.
-        env_bc = os.environ.get('JSMPEG_TPU_BLOCK_CARRY')
-        self.block_carry = bool(options.get(
-            'block_carry',
-            env_bc not in (None, '', '0', 'false', 'False')))
+        # scan-carry layout: carry reference planes in MB-block layout
+        # (halves per-step uint8 relayouts).  Default auto (None): OFF at
+        # 720p-class geometry, ON jointly with fused_pair MC at
+        # 1080p-class (the round-5 sweep winners; see _tuned_flags).
+        # Env '0'/'false' forces OFF, '1' forces ON, ''/'auto' = auto.
+        bc = options.get('block_carry')
+        if bc is None:
+            bc = os.environ.get('JSMPEG_TPU_BLOCK_CARRY')
+        self.block_carry = (None if bc in (None, '', 'auto')
+                            else bc not in ('0', 'false', 'False',
+                                            0, False))
         # motion-compensation formulation override ('fused' folds the
         # half-pel taps into bf16 weight matmuls, ops/motion.py; None =
         # backend auto).  Bit-exact either way; A/B'd on-chip before any
@@ -1189,6 +1214,7 @@ class MPEG1Decoder:
         iq = jnp.zeros(64, jnp.int32)
         nq = jnp.zeros(64, jnp.int32)
         compiled = 0
+        mc_t, bc_t = self._tuned_flags(n_mb)
         for n_blk, n_pairs, n_runs in self._prewarm_statics(mb_h, mb_w):
             ids_blk = n_blk if self.wire_ids else 0
             # n_pairs/n_esc are STATIC jit args on the real dispatch
@@ -1201,8 +1227,8 @@ class MPEG1Decoder:
                 mk(), mk(), buf, iq, nq, mb_h=mb_h, mb_w=mb_w,
                 n_frames=1, n_blk=n_blk, n_runs=n_runs,
                 band_halo=(16, 16), mv_wide=False,
-                wire_ids=self.wire_ids, block_carry=self.block_carry,
-                n_pairs=n_pairs, n_esc=None, mc_method=self.mc_method)
+                wire_ids=self.wire_ids, block_carry=bc_t,
+                n_pairs=n_pairs, n_esc=None, mc_method=mc_t)
             jax.block_until_ready(outs.y)
             compiled += 1
         return compiled
@@ -1261,6 +1287,28 @@ class MPEG1Decoder:
         threading.Thread(target=self.prewarm, daemon=True,
                          name='jsmpeg-prewarm').start()
 
+    # mb_size at or above which the 1080p-sweep winners (fused_pair MC +
+    # block-space carry, measured 361 vs 298 fps at otherwise-default
+    # flags) become the packed-path defaults; 720p (3600 MBs) keeps
+    # fused + plane carry, its own measured winners
+    BIG_FRAME_MBS = 6000
+
+    def _tuned_flags(self, n_mb: int = None):
+        """Resolve (mc_method, block_carry) for the packed dispatch:
+        explicit settings win; with BOTH unset, big frames on an
+        accelerator flip to the round-5 1080p sweep winners jointly
+        (each flag alone measured as a loss there -- the win does not
+        decompose)."""
+        mc, bc = self.mc_method, self.block_carry
+        if mc is None and bc is None:
+            if n_mb is None:
+                seq = self.parser.seq
+                n_mb = seq.mb_size if seq is not None else 0
+            if (n_mb >= self.BIG_FRAME_MBS
+                    and jax.default_backend() != 'cpu'):
+                return 'fused_pair', True
+        return mc, bool(bc)
+
     def _stage_packed(self, batch, n_frames=None):
         """Assemble one packed batch's fused wire buffer and start its
         H2D transfer on the feeder thread.  Returns the staging dict
@@ -1303,14 +1351,15 @@ class MPEG1Decoder:
         if staged is None:
             staged = self._stage_packed(batch, n_frames)
         dev = staged['fut'].result()
+        mc_t, bc_t = self._tuned_flags()
         self._cur, self._fwd, outs = decode_scan_fused(
             self._cur, self._fwd, dev, iq, nq,
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=staged['F'],
             n_blk=staged['n_blk'], n_runs=staged['n_runs'],
             band_halo=staged['band_halo'], mv_wide=staged['mv_wide'],
-            wire_ids=staged['wire_ids'], block_carry=self.block_carry,
+            wire_ids=staged['wire_ids'], block_carry=bc_t,
             n_pairs=staged.get('n_pairs'), n_esc=staged.get('n_esc'),
-            mc_method=self.mc_method)
+            mc_method=mc_t)
         return outs
 
     def _dispatch_batch(self, batch, n_frames=None, staged=None):

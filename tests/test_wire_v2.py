@@ -298,3 +298,37 @@ def test_fine_bucket_e2e_bit_exact():
                                       err_msg=f'frame {i} cr')
         np.testing.assert_array_equal(np.asarray(p.cb), g[2],
                                       err_msg=f'frame {i} cb')
+
+
+def test_p2l_direct_scatter_bit_exact(monkeypatch):
+    """The large-grid packed_to_levels formulation (per-pair direct flat
+    scatter, round-5: 1080p 190 -> 298 fps) must decode bit-exactly.
+    CPU test geometries sit below P2L_DIRECT_MIN_BLOCKS, so force the
+    branch by lowering the threshold (trace-time constant: clear jit
+    caches around the patch)."""
+    import jax
+
+    import jsmpeg_tpu.models.mpeg1 as m
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+    es, _ = encode_test_stream(96, 64, n_frames=6, seed=21, gop=3)
+    golden = OracleMPEG1(es).decode_all()
+
+    monkeypatch.setattr(m, 'P2L_DIRECT_MIN_BLOCKS', 1)
+    jax.clear_caches()
+    try:
+        dec = MPEG1Decoder()
+        dec.write(0.0, es)
+        outs = dec.decode_available(eof=True)
+        assert len(outs) == len(golden) == 6
+        for i, (p, g) in enumerate(zip(outs, golden)):
+            np.testing.assert_array_equal(np.asarray(p.y), g[0],
+                                          err_msg=f'frame {i} y')
+            np.testing.assert_array_equal(np.asarray(p.cr), g[1],
+                                          err_msg=f'frame {i} cr')
+            np.testing.assert_array_equal(np.asarray(p.cb), g[2],
+                                          err_msg=f'frame {i} cb')
+    finally:
+        jax.clear_caches()      # drop traces that baked the low threshold
