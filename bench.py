@@ -551,6 +551,8 @@ def device_rows(emit):
         nd = run_dense()
         dtimes.append(time.monotonic() - t0)
     emit('dense_28mbit_fps', round(nd / _median(dtimes), 2))
+    emit('dense_bitrate_mbit_s',
+         round(len(es_dense) * 8 * 30.0 / DENSE_FRAMES / 1e6, 2))
     # dense attribution: the stress stream's ceiling is whichever stage
     # saturates -- host VLC parse of ~6x the coefficient volume, the
     # bigger wire upload, or the segmented-scatter scans

@@ -37,9 +37,17 @@ def test_full_capture_renders_every_row():
                  'fused MC 900 fps', 'fused_pair MC 910 fps',
                  'block_carry 805 fps', 'wire_ids 850 fps',
                  '1203 fps aggregate over 4 streams',
-                 'p50 38 ms / p95 51 ms', 'inline-upload A/B p50 35 ms',
+                 'p50 38 ms / p95 51 ms',
+                 'inline-upload A/B p50 35 / p95 44 ms',
                  '4x2: 5200 fps (eff 81%)', 'BENCH_r03.json'):
         assert frag in out, frag
+    # r05+ captures carry the 'feeder' arm instead (default is inline)
+    row = dict(FULL_ROW)
+    row['streaming_latency_720p_ms'] = {'p50': 39.0, 'p95': 50.0,
+                                        'feeder': {'p50': 38.0,
+                                                   'p95': 62.0}}
+    out = render(row, 'BENCH_r05.json')
+    assert 'feeder-upload A/B p50 38 / p95 62 ms' in out
 
 
 def test_host_only_capture_renders_with_error():
