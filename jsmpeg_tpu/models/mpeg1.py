@@ -820,6 +820,23 @@ def auto_wire_ids() -> bool:
         return False
 
 
+def tuned_mc_flags(n_mb: int, mc_method=None, block_carry=None,
+                   joint: bool = False):
+    """Geometry-tuned (mc_method, block_carry) shared by the single-stream
+    decoder and the serving fleets.  Explicit settings win.  With both
+    unset, grids of >= MPEG1Decoder.BIG_FRAME_MBS on an accelerator use
+    the round-5 sweep winners: single-frame grids flip to fused_pair +
+    block-space carry jointly (1080p 298 -> 361 fps; each flag alone
+    measured as a loss); stacked JOINT grids (joint=True) take
+    fused_pair alone (the stacked S=4 sweep: fp 631 > fp+bc 621 >
+    default 613)."""
+    if mc_method is None and block_carry is None:
+        if (n_mb >= MPEG1Decoder.BIG_FRAME_MBS
+                and jax.default_backend() != 'cpu'):
+            return 'fused_pair', not joint
+    return mc_method, bool(block_carry)
+
+
 def resolve_wire_ids(value) -> object:
     """Normalize a wire_ids option/env value: True/False pass through,
     None/''/'auto' defer to the transport probe (returned as 'auto' for
@@ -1299,15 +1316,10 @@ class MPEG1Decoder:
         accelerator flip to the round-5 1080p sweep winners jointly
         (each flag alone measured as a loss there -- the win does not
         decompose)."""
-        mc, bc = self.mc_method, self.block_carry
-        if mc is None and bc is None:
-            if n_mb is None:
-                seq = self.parser.seq
-                n_mb = seq.mb_size if seq is not None else 0
-            if (n_mb >= self.BIG_FRAME_MBS
-                    and jax.default_backend() != 'cpu'):
-                return 'fused_pair', True
-        return mc, bool(bc)
+        if n_mb is None:
+            seq = self.parser.seq
+            n_mb = seq.mb_size if seq is not None else 0
+        return tuned_mc_flags(n_mb, self.mc_method, self.block_carry)
 
     def _stage_packed(self, batch, n_frames=None):
         """Assemble one packed batch's fused wire buffer and start its

@@ -191,15 +191,16 @@ class MultiStreamDecoder:
         # the ordinal computation; 'auto' (default) resolves from the
         # one-shot H2D transport probe -- serving hosts with cheap H2D
         # turn it on, tunneled links stay off (models/mpeg1.py policy).
-        # block_carry keeps the scan carry in MB-block layout (A/B'd
-        # on chip).
+        # block_carry (None = geometry auto, like MPEG1Decoder) keeps the
+        # scan carry in MB-block layout.
         from ..models.mpeg1 import auto_wire_ids, resolve_wire_ids
         wi = resolve_wire_ids(wire_ids)
         self._wire_ids_auto = wi == 'auto'
         self.wire_ids = auto_wire_ids() if wi == 'auto' else wi
-        self.block_carry = bool(block_carry)
+        self.block_carry = block_carry
         # MC formulation override ('fused' = half-pel taps folded into
-        # bf16 weight matmuls, ops/motion.py; bit-exact either way)
+        # bf16 weight matmuls; None = geometry auto -- big frames take
+        # the round-5 sweep winners, models/mpeg1.tuned_mc_flags)
         self.mc_method = mc_method
         self.parsers = [best_parser() for _ in range(n_streams)]
         if not hasattr(self.parsers[0], 'parse_batch'):
@@ -477,12 +478,15 @@ class MultiStreamDecoder:
                             self._zero_planes(seq))
                 # async dispatch: stream i+1's wire uploads while stream
                 # i's scan executes; the device drains the queue serially
+                from ..models.mpeg1 import tuned_mc_flags
+                mc_t, bc_t = tuned_mc_flags(n_mb, self.mc_method,
+                                            self.block_carry)
                 cur, fwd, outs = decode_scan_fused(
                     pair[0], pair[1], dev, iq, nq,
                     mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
                     n_blk=n_blk, n_runs=n_runs, band_halo=halo,
-                    mv_wide=mv_wide, block_carry=self.block_carry,
-                    wire_ids=self.wire_ids, mc_method=self.mc_method)
+                    mv_wide=mv_wide, block_carry=bc_t,
+                    wire_ids=self.wire_ids, mc_method=mc_t)
                 self._carry[i] = (cur, fwd)
                 result.append(Planes(outs.y[:c], outs.cr[:c],
                                      outs.cb[:c]))
@@ -523,12 +527,15 @@ class MultiStreamDecoder:
                 joint, F, n_pairs, n_runs, self.n * n_mb, mv_wide,
                 ids_blk=n_blk if self.wire_ids else 0)
             dev = jax.device_put(buf)
+            from ..models.mpeg1 import tuned_mc_flags
+            mc_t, bc_t = tuned_mc_flags(self.n * n_mb, self.mc_method,
+                                        self.block_carry, joint=True)
             cur, fwd, outs = decode_scan_fused(
                 self._carry[0], self._carry[1], dev, iq, nq,
                 mb_h=self.n * seq.mb_height, mb_w=seq.mb_width,
                 n_frames=F, n_blk=n_blk, n_runs=n_runs, band_halo=halo,
-                mv_wide=mv_wide, block_carry=self.block_carry,
-                wire_ids=self.wire_ids, mc_method=self.mc_method,
+                mv_wide=mv_wide, block_carry=bc_t,
+                wire_ids=self.wire_ids, mc_method=mc_t,
                 n_seg=self.n, valid_seg=jnp.asarray(vseg))
             self._carry = (cur, fwd)
             ch, hh = seq.coded_height, seq.coded_height >> 1
@@ -561,12 +568,14 @@ class MultiStreamDecoder:
                                      ids_blk=n_blk if self.wire_ids else 0)
             for b in batches])
         dev = jax.device_put(bufs)
+        from ..models.mpeg1 import tuned_mc_flags
+        mc_t, bc_t = tuned_mc_flags(n_mb, self.mc_method, self.block_carry)
         cur, fwd, outs = decode_scan_fused_many(
             self._carry[0], self._carry[1], dev, iq, nq,
             mb_h=seq.mb_height, mb_w=seq.mb_width, n_frames=F,
             n_blk=n_blk, n_runs=n_runs, band_halo=halo, mv_wide=mv_wide,
-            block_carry=self.block_carry, wire_ids=self.wire_ids,
-            mc_method=self.mc_method)
+            block_carry=bc_t, wire_ids=self.wire_ids,
+            mc_method=mc_t)
         self._carry = (cur, fwd)
         result = [Planes(outs.y[i, :c], outs.cr[i, :c], outs.cb[i, :c])
                   for i, c in enumerate(counts)]
