@@ -164,8 +164,9 @@ def _multi(args) -> int:
                                           with_seq=True,
                                           mc_method=_env_mc())
     else:
+        # flag given = force ON; absent = the decoder's 'auto' probe
         dec = MultiStreamDecoder(len(paths),
-                                 wire_ids=bool(args.wire_ids),
+                                 wire_ids=True if args.wire_ids else 'auto',
                                  mc_method=_env_mc())
         for i, es_b in enumerate(streams):
             dec.write(i, es_b)

@@ -40,7 +40,7 @@ class _ESFeed:
 
 
 def serve(urls, out_pattern=None, batch=8, interval=0.05, seconds=None,
-          stats_out=None, wav_pattern=None, wire_ids=False,
+          stats_out=None, wav_pattern=None, wire_ids='auto',
           block_carry=False, mc_method=None, mode='roundrobin'):
     import numpy as np
 
@@ -197,7 +197,8 @@ def main(argv=None):
                          'either way; A/B on your chip)')
     args = ap.parse_args(argv)
     serve(args.urls, args.out, args.batch, args.interval, args.seconds,
-          wav_pattern=args.wav, wire_ids=args.wire_ids,
+          wav_pattern=args.wav,
+          wire_ids=True if args.wire_ids else 'auto',
           block_carry=args.block_carry, mc_method=args.mc,
           mode=args.mode)
     return 0
