@@ -1528,11 +1528,14 @@ class MPEG1Decoder:
         def flush():
             if not pending:
                 return
+            from ..parallel.packed import gops_all_closed
             md = self._mesh_decoder(mesh)
-            if not md.fits_mesh(pending):
-                # the batch's MV reach exceeds the per-tile halo (f_code
-                # beyond the floor / full_pel doubling): decode off-mesh
-                # on the default device, threading the same carry
+            if not md.fits_mesh(pending) or not gops_all_closed(pending):
+                # off-mesh fallback, threading the same carry: either the
+                # batch's MV reach exceeds the per-tile halo (f_code
+                # beyond the floor / full_pel doubling), or a slice-gap
+                # frame makes a GOP depend on pre-GOP plane content
+                # (parallel/packed.gop_closed)
                 from ..parallel.packed import merge_packed_frames
                 for a in range(0, len(pending), self.BATCH_FRAMES):
                     group = pending[a:a + self.BATCH_FRAMES]

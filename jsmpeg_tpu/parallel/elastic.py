@@ -90,12 +90,12 @@ def decode_gops_elastic(es: bytes, n_workers: int = 3,
             os.path.dirname(os.path.abspath(__file__)))))
         for _ in range(n_workers)]
 
-    jobs: List[Tuple[int, int, int]] = [
-        (gi, s, e) for gi, (s, e, _) in enumerate(ranges)]
+    jobs: List[Tuple[int, int, int, int]] = [
+        (gi, s, e, n) for gi, (s, e, n) in enumerate(ranges)]
     pending = list(reversed(jobs))         # pop() serves in stream order
     done: set = set()
     lock = threading.Condition()
-    alive = [n_workers]
+    alive = [0]                            # incremented per started handler
 
     def handle(worker_id: int, sock: socket.socket, pid: int):
         reader = _LineReader(sock)
@@ -113,7 +113,7 @@ def decode_gops_elastic(es: bytes, n_workers: int = 3,
                     on_assign(worker_id, pid, job[0])
                 try:
                     _send(sock, {'gop': job[0], 'start': job[1],
-                                 'end': job[2]})
+                                 'end': job[2], 'n': job[3]})
                     r = reader.recv()
                 except OSError:
                     r = None
@@ -139,12 +139,32 @@ def decode_gops_elastic(es: bytes, n_workers: int = 3,
 
     threads = []
     try:
+        # Accept within a bounded window and proceed with whoever showed
+        # up: a worker that crashes at startup (observed rarely under
+        # load) must not stall the whole decode -- survivors absorb its
+        # shards exactly like a mid-run death.  Zero workers is fatal.
+        import time as _time
+        deadline = _time.monotonic() + min(60.0, timeout)
         for w in range(n_workers):
-            conn, _ = srv.accept()
+            with lock:
+                if len(done) >= len(jobs):
+                    break       # early workers already finished the job
+            try:
+                srv.settimeout(max(1.0, deadline - _time.monotonic()))
+                conn, _ = srv.accept()
+            except (TimeoutError, OSError):
+                break
+            # a WEDGED worker (alive but never replying) must not hold
+            # its shard forever: recv times out -> OSError -> re-queue
+            conn.settimeout(timeout)
+            with lock:
+                alive[0] += 1
             t = threading.Thread(target=handle,
                                  args=(w, conn, procs[w].pid), daemon=True)
             t.start()
             threads.append(t)
+        if not threads:
+            raise RuntimeError('no elastic workers connected')
         with lock:
             while len(done) < len(jobs):
                 if alive[0] == 0:
@@ -179,6 +199,26 @@ def decode_gops_elastic(es: bytes, n_workers: int = 3,
     return counts, frames
 
 
+def _range_closed(header: bytes, chunk: bytes) -> bool:
+    """True when this GOP byte range is an independent decode unit: its
+    first two frames cover every macroblock (written or intra).  A
+    slice-gap MB there would expose pre-GOP stale plane content
+    (parallel/packed.gop_closed semantics), which a from-zero range
+    decode cannot reproduce."""
+    import numpy as np
+
+    from ..host import best_parser
+    p = best_parser()
+    p.write(header + chunk)
+    for _ in range(2):
+        fd = p.parse_frame(eof=True)
+        if fd is None:
+            return True
+        if not bool((np.asarray(fd.written) | np.asarray(fd.intra)).all()):
+            return False
+    return True
+
+
 def _worker_main(host: str, port: int, es_path: str, outdir: str) -> None:
     # virtual-CPU test runs: the axon plugin pins the TPU backend unless
     # the platform is forced after import (tests/conftest.py pattern)
@@ -195,6 +235,7 @@ def _worker_main(host: str, port: int, es_path: str, outdir: str) -> None:
     reader = _LineReader(sock)
     _send(sock, {'ready': True})
     die_after = int(os.environ.get('JSMPEG_ELASTIC_DIE_AFTER', '-1'))
+    hang_after = int(os.environ.get('JSMPEG_ELASTIC_HANG_AFTER', '-1'))
     jobs_done = 0
     while True:
         msg = reader.recv()
@@ -203,10 +244,23 @@ def _worker_main(host: str, port: int, es_path: str, outdir: str) -> None:
         gi, s, e = msg['gop'], msg['start'], msg['end']
         if die_after >= 0 and jobs_done >= die_after:
             os._exit(137)          # simulated SIGKILL mid-shard
+        if hang_after >= 0 and jobs_done >= hang_after:
+            import time
+            while True:            # simulated wedge: alive, never replies
+                time.sleep(60)
         from ..utils import fetch
         dec = MPEG1Decoder()
-        dec.write(0.0, header + es[s:e])
-        outs = dec.decode_available(eof=True)
+        if _range_closed(header, es[s:e]):
+            dec.write(0.0, header + es[s:e])
+            outs = dec.decode_available(eof=True)
+        else:
+            # slice-gap GOP depends on pre-GOP plane content: decode the
+            # whole prefix (bit-exact stale-pixel semantics) and keep
+            # only this range's frames.  Slower, still idempotent.
+            dec.write(0.0, es[:e])
+            allf = dec.decode_available(eof=True)
+            k = int(msg.get('n') or 0)
+            outs = [allf[i] for i in range(len(allf) - k, len(allf))]
         z = np.zeros((0, 0, 0), np.uint8)
         y = np.stack([fetch(o.y) for o in outs]) if outs else z
         cr = np.stack([fetch(o.cr) for o in outs]) if outs else z

@@ -86,6 +86,11 @@ def decode_gop_parallel(frames: List[FrameData], mb_h: int, mb_w: int,
     """Convenience driver: split/pad/stack frames, decode across the mesh,
     return per-frame planes in input order."""
     gops = split_gops(frames)
+    from .packed import gop_closed
+    for gop in gops:
+        if not gop_closed(gop):
+            raise ValueError('GOP not closed (slice-gap frame exposes '
+                             'pre-GOP plane content); decode off-mesh')
     n_gop_axis = mesh.shape['gop']
     g = max(1, -(-len(gops) // n_gop_axis)) * n_gop_axis
     f = max(len(x) for x in gops)

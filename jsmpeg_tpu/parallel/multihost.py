@@ -211,12 +211,20 @@ def decode_packed_multihost(es: bytes, n_tile: int = 1, f_code: int = 2):
     my_rows = range(pid * per_host, (pid + 1) * per_host)
 
     # parse ONLY this host's GOPs (plus the header prefix for seq info)
+    from .packed import gop_closed
     seq = None
     my_gops: Dict[int, list] = {}
     for gi in my_rows:
         if gi < len(ranges):
             s, e, _ = ranges[gi]
             seq, frames = parse_gop_range(header, es, s, e)
+            if not gop_closed(frames):
+                raise ValueError(
+                    f'GOP {gi} not closed (slice-gap frame exposes '
+                    f'pre-GOP plane content): the jax.distributed mesh '
+                    f'decode cannot thread pre-GOP state; use '
+                    f'parallel.elastic (prefix fallback) or the serial '
+                    f'pipeline for this stream')
             my_gops[gi] = frames
     if seq is None:                 # padding-only host: header only
         seq, _ = parse_gop_range(header, es, 0, 0)

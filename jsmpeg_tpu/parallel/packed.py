@@ -133,6 +133,42 @@ def split_frame_tiles(fr: dict, n_mb: int, mb_w: int, mb_h_local: int,
     return tiles
 
 
+def gop_closed(gop_frames: List[dict]) -> bool:
+    """True when this GOP is an independent decode unit.
+
+    Reference semantics: a macroblock covered by no slice (a slice gap --
+    non-conformant but decodable; the reference leaves the plane's stale
+    pixels, frame n-2 after the double-buffer swap) exposes PRE-GOP
+    content when it sits in the GOP's leading I or first P frame: during
+    those two frames the 'current' buffer still holds pixels from before
+    the GOP's I refresh.  From frame 2 on the stale buffer is the GOP's
+    own frame n-2, which the per-cell scan carries correctly.  Uncovered
+    MB <=> run_flags has neither written (0x40) nor intra (0x20).
+
+    Found by the round-5 fuzz soak (seed 799): a slice-gap P frame
+    decoded GOP-parallel showed init zeros where the serial pipeline
+    shows frame n-2 -- this predicate guards every GOP-parallel path."""
+    for f in gop_frames[:2]:
+        fl = f.get('run_flags') if isinstance(f, dict) else None
+        if fl is not None:
+            if len(fl) and bool(((fl & 0x60) == 0).any()):
+                return False
+            continue
+        # FrameData-style objects (gop.py paths)
+        w = np.asarray(f['written'] if isinstance(f, dict) else f.written)
+        i = np.asarray(f['intra'] if isinstance(f, dict) else f.intra)
+        if not bool((w | i).all()):
+            return False
+    return True
+
+
+def gops_all_closed(frames: List[dict]) -> bool:
+    """gop_closed over every GOP of a frame list (split at I pictures)."""
+    pick = (lambda f: f['pic_type']) if isinstance(frames[0], dict) \
+        else (lambda f: f.pic_type)
+    return all(gop_closed(g) for g in split_at_iframes(frames, pick))
+
+
 def merge_packed_frames(frames: List[dict]) -> dict:
     """Per-frame packed dicts (split_packed_frames output) -> one batch
     dict usable by the single-device fused pipeline (the off-mesh
@@ -264,6 +300,14 @@ class MeshPackedDecoder:
         final_carry (cur, fwd) full-height single-GOP planes).  Output
         frame (gi, fi) maps to input frame sum(len(gops[:gi])) + fi."""
         gops = split_at_iframes(frames, lambda f: f['pic_type'])
+        for gop in gops:
+            if not gop_closed(gop):
+                raise ValueError(
+                    'GOP not closed: a slice-gap macroblock in its '
+                    'leading I / first P frame exposes pre-GOP plane '
+                    'content (reference stale-pixel semantics); decode '
+                    'these frames off-mesh (callers: check '
+                    'gops_all_closed() / fits_mesh() first)')
         g = max(1, -(-len(gops) // self.n_gop)) * self.n_gop
         fmax = _bucket(max(len(x) for x in gops), lo=2)
         n_mb = self.mb_h * self.mb_w

@@ -433,6 +433,11 @@ def decode_tiled(frames: List[FrameData], mb_h: int, mb_w: int, mesh: Mesh,
     from .gop import stack_gops
 
     gops = split_gops(frames)
+    from .packed import gop_closed
+    for gop in gops:
+        if not gop_closed(gop):
+            raise ValueError('GOP not closed (slice-gap frame exposes '
+                             'pre-GOP plane content); decode off-mesh')
     n_gop = mesh.shape['gop']
     n_tile = mesh.shape['tile']
     g = max(1, -(-len(gops) // n_gop)) * n_gop
@@ -555,6 +560,11 @@ def decode_tiled_levels(es: bytes, mesh: Mesh, f_code: int = 2,
     mb_h, mb_w = seq.mb_height, seq.mb_width
     n_mb = mb_h * mb_w
     gops = split_at_iframes(frames, lambda f: f['pic_type'])
+    from .packed import gop_closed
+    for gop in gops:
+        if not gop_closed(gop):
+            raise ValueError('GOP not closed (slice-gap frame exposes '
+                             'pre-GOP plane content); decode off-mesh')
     n_gop = mesh.shape['gop']
     n_tile = mesh.shape['tile']
     g = max(1, -(-len(gops) // n_gop)) * n_gop

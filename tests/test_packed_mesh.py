@@ -190,3 +190,79 @@ def test_mesh_decoder_api_carry(stream):
     for i, (g, r) in enumerate(zip(got, ref)):
         for a, b in zip(g, r):
             np.testing.assert_array_equal(a, b, err_msg=f'frame {i}')
+
+
+def _slice_gap_stream():
+    """Fixture found by the round-5 fuzz soak (seed 799): frame 4 (the
+    first P of GOP 2) leaves MB (0,5) uncovered by any slice, so its
+    pixels come from the stale current plane = frame 2 -- PRE-GOP
+    content.  GOP-parallel decode from zero-init cells cannot reproduce
+    that."""
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    es, _ = encode_test_stream(96, 64, n_frames=8, seed=922899424, gop=3,
+                               f_code=3, full_pel=False)
+    return es
+
+
+def test_gop_closed_predicate():
+    from jsmpeg_tpu.host import best_parser
+    from jsmpeg_tpu.parallel.gop import split_at_iframes
+    from jsmpeg_tpu.parallel.packed import (gop_closed, gops_all_closed,
+                                            split_packed_frames)
+    p = best_parser()
+    p.write(_slice_gap_stream())
+    frames = []
+    while True:
+        b = p.parse_batch(32, eof=True)
+        if b is None:
+            break
+        frames.extend(split_packed_frames(b))
+        if b['n'] < 32:
+            break
+    gops = split_at_iframes(frames, lambda f: f['pic_type'])
+    closed = [gop_closed(g) for g in gops]
+    assert closed == [True, False, True]       # GOP 2 has the slice gap
+    assert not gops_all_closed(frames)
+
+
+def test_mesh_refuses_open_gop():
+    es = _slice_gap_stream()
+    with pytest.raises(ValueError, match='GOP not closed'):
+        decode_packed_mesh(es, make_mesh(n_gop=1, n_tile=1))
+
+
+def test_player_mesh_falls_back_bit_exact_on_open_gop():
+    """The product mesh path must fall back off-mesh for open GOPs and
+    stay bit-exact vs the serial pipeline (the round-5 soak failure)."""
+    es = _slice_gap_stream()
+    ref_dec = MPEG1Decoder()
+    ref_dec.write(0.0, es)
+    ref = ref_dec.decode_available(eof=True)
+    dm = MPEG1Decoder()
+    dm.write(0.0, es)
+    outs = dm.decode_available(eof=True, mesh=make_mesh(n_gop=2, n_tile=1))
+    assert len(outs) == len(ref) == 8
+    for i in range(8):
+        p, r = outs[i], ref[i]
+        np.testing.assert_array_equal(np.asarray(p.y), np.asarray(r.y),
+                                      err_msg=f'frame {i}')
+        np.testing.assert_array_equal(np.asarray(p.cr), np.asarray(r.cr))
+        np.testing.assert_array_equal(np.asarray(p.cb), np.asarray(r.cb))
+
+
+def test_elastic_prefix_fallback_on_open_gop():
+    """The elastic GOP-shard decode must detect an open GOP range and
+    fall back to a prefix decode, staying bit-exact."""
+    from jsmpeg_tpu.parallel.elastic import decode_gops_elastic
+    es = _slice_gap_stream()
+    ref_dec = MPEG1Decoder()
+    ref_dec.write(0.0, es)
+    ref = ref_dec.decode_available(eof=True)
+    counts, frames = decode_gops_elastic(
+        es, n_workers=2, worker_env={'JAX_PLATFORMS': 'cpu'})
+    assert sum(counts) == len(ref) == 8
+    for i, ((y, cr, cb), r) in enumerate(zip(frames, ref)):
+        np.testing.assert_array_equal(y, np.asarray(r.y),
+                                      err_msg=f'frame {i}')
+        np.testing.assert_array_equal(cr, np.asarray(r.cr))
+        np.testing.assert_array_equal(cb, np.asarray(r.cb))

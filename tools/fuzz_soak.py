@@ -141,22 +141,33 @@ def _mesh_differential(es: bytes, rng) -> None:
     shapes = [(g, t) for g in (1, 2, 4) for t in (1, 2)
               if g * t <= n_dev]
     g, t = shapes[int(rng.integers(len(shapes)))]
+    fell_back = False
     try:
         outs = decode_packed_mesh(es, make_mesh(n_gop=g, n_tile=t))
     except RuntimeError:
         return          # quirk stream needs the serial-exact path
     except ValueError as e:
-        if 'halo' in str(e):
-            return      # MV reach beyond the tile halo: off-mesh policy
-        raise
+        if 'halo' not in str(e) and 'GOP not closed' not in str(e):
+            raise
+        # MV reach beyond the tile halo / slice-gap open GOP: the raw
+        # mesh API refuses (policy); the PRODUCT mesh path must instead
+        # fall back off-mesh and still decode bit-exactly -- checked
+        # below (round-5 soak find, seed 799)
+        fell_back = True
+        dm = MPEG1Decoder()
+        dm.write(0.0, es)
+        outs = dm.decode_available(eof=True,
+                                   mesh=make_mesh(n_gop=g, n_tile=t))
     d = MPEG1Decoder()
     d.write(0.0, es)
     ref = d.decode_available(eof=True)
-    assert len(outs) == len(ref), f'mesh {g}x{t} frame count'
-    for i, (p, r) in enumerate(zip(outs, ref)):
+    tag = f'mesh {g}x{t}' + (' (off-mesh fallback)' if fell_back else '')
+    assert len(outs) == len(ref), f'{tag} frame count'
+    for i in range(len(ref)):
+        p, r = outs[i], ref[i]
         for a, b in zip((p.y, p.cr, p.cb), (r.y, r.cr, r.cb)):
             assert np.array_equal(np.asarray(a), np.asarray(b)), \
-                f'mesh {g}x{t} frame {i} differs'
+                f'{tag} frame {i} differs'
 
 
 def _streams_round(rng, mode: str) -> None:
