@@ -49,8 +49,11 @@ class BitReader:
         Returns the number of bytes evicted so callers can fix up any
         byte-offset bookkeeping.
         """
-        pos = self.index >> 3
-        if pos == 0:
+        # the index may sit a few bits PAST byte_length (value reads run
+        # into the zero pad, e.g. a header split across writes); clamp
+        # the evict point to the valid bytes (C++ twin: bitview.h evict)
+        pos = min(self.index >> 3, self.byte_length)
+        if pos <= 0:
             return 0
         self.bytes[:self.byte_length - pos] = self.bytes[pos:self.byte_length]
         self.bytes[self.byte_length - pos:self.byte_length] = 0

@@ -35,7 +35,14 @@ struct ByteBuffer {
   }
 
   int64_t evict() {
+    // Parsers legitimately leave bit_index a few bits PAST byte_length
+    // (value reads run into the zero PAD, e.g. a sequence header split
+    // across writes -- the padding contract above).  Clamp the evict
+    // point to the valid bytes: without this the memmove length goes
+    // negative and wraps to ~2^64, trampling the heap (found by the
+    // round-5 fuzz soak: truncated header + evict_consumed).
     int64_t pos = bit_index >> 3;
+    if (pos > byte_length) pos = byte_length;
     if (pos <= 0) return 0;
     std::memmove(buf.data(), buf.data() + pos, byte_length - pos);
     byte_length -= pos;

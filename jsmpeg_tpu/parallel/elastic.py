@@ -205,8 +205,6 @@ def _range_closed(header: bytes, chunk: bytes) -> bool:
     slice-gap MB there would expose pre-GOP stale plane content
     (parallel/packed.gop_closed semantics), which a from-zero range
     decode cannot reproduce."""
-    import numpy as np
-
     from ..host import best_parser
     p = best_parser()
     p.write(header + chunk)

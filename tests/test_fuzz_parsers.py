@@ -141,3 +141,39 @@ def test_mutation_fuzz():
             cut_b = int(rng.integers(0, len(other)))
             base = base[:cut_a] + other[cut_b:]
         _cross_check(bytes(base), f'mutated[{k}]')
+
+
+def test_evict_with_bit_index_past_end():
+    """A header split across writes legitimately leaves the bit index a
+    few bits PAST byte_length (value reads run into the zero pad);
+    evict_consumed must clamp instead of computing a negative move
+    length.  The native version trampled the heap (negative size_t
+    memmove ~2^64 bytes) -- found by the round-5 fuzz soak as random
+    malloc aborts in the serving rounds (seed 31395, dup_packets)."""
+    import numpy as np
+
+    from jsmpeg_tpu.host.bits import BitReader
+    from jsmpeg_tpu.host.native import NativeMPEG1Parser, native_available
+
+    # a truncated sequence start: 00 00 01 B3 + 6 bytes of header -- the
+    # 12-byte fixed header + quant flags read past the end into the pad
+    truncated = bytes([0, 0, 1, 0xB3, 0x50, 0x04, 0x00, 0x13, 0xFF, 0xFF])
+
+    if native_available():
+        p = NativeMPEG1Parser()
+        p.write(truncated)
+        assert p.bits.index > p.bits.byte_length * 8   # past the end
+        p.bits.evict_consumed()                        # must not trample
+        assert 0 <= p.bits.byte_length <= len(truncated)
+        # keep decoding: more data arrives after the evict
+        p.write(b'\x00' * 32)
+        p.parse_batch(2, eof=True)
+
+    b = BitReader()
+    b.append(truncated)
+    b.read(16)
+    b.index = (len(truncated) + 2) * 8                 # simulated overrun
+    b.evict_consumed()
+    assert b.byte_length == 0
+    b.append(b'\x00\x00\x01\xb3')
+    assert b.byte_length == 4
