@@ -122,6 +122,12 @@ struct PictureParser {
   int nz = 0;
   bool bd_dirty = false;      // scratch holds stale non-DC values
   bool leaky = false;         // a stale value reached an emitted block
+  bool dup_coded = false;     // a block coded twice (corrupted/duplicated
+                              // slice data revisits a macroblock): the
+                              // append-only pair wire cannot express it
+                              // (slot advances would exceed cbp-derived
+                              // ordinals and desync every later block),
+                              // so batch modes fall back to serial
   bool error = false;
   int64_t quirk_leaks = 0;
 
@@ -388,7 +394,11 @@ struct PictureParser {
       }
     }
 
-    if (addr >= 0) out.coded[addr * 6 + block] = 1;
+    if (addr >= 0) {
+      uint8_t& c = out.coded[addr * 6 + block];
+      if (c) dup_coded = true;
+      c = 1;
+    }
 
     auto emit_nz = [&]() {
       // emit the recorded nonzero pairs of this block (VLC scan order;
@@ -699,6 +709,7 @@ struct Parser : ByteBuffer {
         std::memset(pp.raw_levels, 0, sizeof(pp.raw_levels));
         pp.bd_dirty = false;
         pp.leaky = false;
+        pp.dup_coded = false;
         pp.error = false;
         pp.bits = BitView{buf.data(), s->end_byte, s->bit_pos};
         pp.out = FrameOut{};
@@ -768,7 +779,7 @@ struct Parser : ByteBuffer {
           run_counts[k] = n_runs;
           total_blocks.fetch_add(blocks);
         }
-        if (pp.leaky || pp.bd_dirty) any_leak.store(true);
+        if (pp.leaky || pp.bd_dirty || pp.dup_coded) any_leak.store(true);
         if (pp.error) any_error.store(true);
         if (pp.out.sp_overflow) any_overflow.store(true);
       }

@@ -177,3 +177,53 @@ def test_evict_with_bit_index_past_end():
     assert b.byte_length == 0
     b.append(b'\x00\x00\x01\xb3')
     assert b.byte_length == 4
+
+
+def test_duplicate_slice_falls_back_to_serial():
+    """Corrupted/duplicated slice data can code the same block twice.
+    The append-only packed pair wire cannot express that (slot advances
+    would exceed the cbp-derived ordinals and desync every LATER block's
+    scatter -- the round-5 soak's 'clean stream contaminated' failures,
+    seeds 31665/31803), so the batch parse must detect it and fall back
+    to the serial-exact path, which handles re-coded blocks by overwrite
+    exactly like the reference's CopyBlock."""
+    import numpy as np
+
+    from jsmpeg_tpu.host.native import native_available
+    from jsmpeg_tpu.models.mpeg1 import MPEG1Decoder
+    from jsmpeg_tpu.testing.gen import encode_test_stream
+    from tests.oracle.ref_mpeg1 import OracleMPEG1
+
+    if not native_available():
+        import pytest
+        pytest.skip('native parser required')
+    es, _ = encode_test_stream(96, 64, n_frames=1, seed=3, gop=1)
+    # duplicate the I frame's last slice: the repeat re-codes its MBs
+    last_slice = -1
+    i = 0
+    while True:
+        i = es.find(b'\x00\x00\x01', i)
+        if i < 0:
+            break
+        if 0x01 <= es[i + 3] <= 0xAF:
+            last_slice = i
+        i += 3
+    assert last_slice > 0
+    end = es.find(b'\x00\x00\x01\xb7', last_slice)
+    dup = es[:end] + es[last_slice:end] + es[end:]
+
+    from jsmpeg_tpu.host import best_parser
+    p = best_parser()
+    p.write(dup)
+    assert p.parse_batch(4, eof=True) == 'fallback'
+
+    # the full decoder transparently uses the serial path and matches the
+    # reference semantics (re-decoded intra blocks overwrite)
+    dec = MPEG1Decoder()
+    dec.write(0.0, dup)
+    outs = dec.decode_available(eof=True)
+    golden = OracleMPEG1(dup).decode_all()
+    assert len(outs) == len(golden) == 1
+    np.testing.assert_array_equal(np.asarray(outs[0].y), golden[0][0])
+    np.testing.assert_array_equal(np.asarray(outs[0].cr), golden[0][1])
+    np.testing.assert_array_equal(np.asarray(outs[0].cb), golden[0][2])
